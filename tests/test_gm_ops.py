@@ -1,0 +1,84 @@
+"""Tests for Gaussian-mixture maintenance ops (merge/prune/compact/append)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rfs_slam_tpu.core.state import GMState
+from rfs_slam_tpu.ops import gm as gm_ops
+
+
+def make_gm(means, covs, ws, capacity=8):
+    n = len(means)
+    d = len(means[0])
+    g = GMState.empty(1, capacity, d)
+    mean = np.zeros((1, capacity, d), np.float32)
+    cov = np.tile(np.eye(d, dtype=np.float32), (1, capacity, 1, 1))
+    w = np.zeros((1, capacity), np.float32)
+    alive = np.zeros((1, capacity), bool)
+    for i, (m, c, wi) in enumerate(zip(means, covs, ws)):
+        mean[0, i] = m
+        cov[0, i] = c
+        w[0, i] = wi
+        alive[0, i] = True
+    return GMState(jnp.asarray(mean), jnp.asarray(cov), jnp.asarray(w),
+                   jnp.asarray(w), jnp.asarray(alive))
+
+
+def test_prune_keeps_geq_threshold():
+    g = make_gm([[0, 0], [1, 1], [2, 2]], [np.eye(2)] * 3, [0.5, 0.2, 0.05])
+    out = gm_ops.prune(g, 0.2)
+    np.testing.assert_array_equal(np.asarray(out.alive[0, :3]), [True, True, False])
+
+
+def test_compact_sorts_by_weight():
+    g = make_gm([[0, 0], [1, 1], [2, 2]], [np.eye(2)] * 3, [0.1, 0.9, 0.5])
+    out = gm_ops.compact(g, 2)
+    np.testing.assert_allclose(np.asarray(out.w[0]), [0.9, 0.5])
+    np.testing.assert_allclose(np.asarray(out.mean[0, 0]), [1, 1])
+    assert bool(np.all(np.asarray(out.alive[0])))
+
+
+def test_merge_moment_match():
+    # two overlapping Gaussians merge per GaussianMixture.hpp:455-460
+    S = 0.1 * np.eye(2)
+    g = make_gm([[0.0, 0.0], [0.2, 0.0]], [S, S], [0.6, 0.4])
+    out = gm_ops.merge(g, threshold=2.0, f_inflation=1.5)
+    alive = np.asarray(out.alive[0])
+    assert alive.sum() == 1
+    i = int(np.argmax(alive))
+    w = float(out.w[0, i])
+    np.testing.assert_allclose(w, 1.0, rtol=1e-5)
+    xm = np.asarray(out.mean[0, i])
+    np.testing.assert_allclose(xm, [0.08, 0.0], atol=1e-6)
+    d1 = xm - np.array([0.0, 0.0])
+    d2 = xm - np.array([0.2, 0.0])
+    Sm = (0.6 * (S + 1.5 * np.outer(d1, d1)) + 0.4 * (S + 1.5 * np.outer(d2, d2)))
+    np.testing.assert_allclose(np.asarray(out.cov[0, i]), Sm, rtol=1e-4)
+    assert float(out.w_prev[0, i]) == 0.0
+
+
+def test_merge_respects_gate():
+    S = 0.01 * np.eye(2)
+    g = make_gm([[0.0, 0.0], [5.0, 0.0]], [S, S], [0.5, 0.5])
+    out = gm_ops.merge(g, threshold=1.0, f_inflation=1.0)
+    assert int(np.asarray(out.alive[0]).sum()) == 2
+
+
+def test_merge_chain_converges():
+    # three Gaussians in a line, pairwise-mergeable: should end as one
+    S = 1.0 * np.eye(2)
+    g = make_gm([[0.0, 0.0], [0.5, 0.0], [1.0, 0.0]], [S] * 3, [0.3, 0.3, 0.3])
+    out = gm_ops.merge(g, threshold=3.0, f_inflation=1.0)
+    assert int(np.asarray(out.alive[0]).sum()) == 1
+    np.testing.assert_allclose(float(out.w[0][np.asarray(out.alive[0])][0]), 0.9, rtol=1e-5)
+
+
+def test_append_compacts():
+    g = make_gm([[0, 0]], [np.eye(2)], [0.5], capacity=2)
+    new_mean = jnp.asarray([[[3.0, 3.0], [4.0, 4.0]]])
+    new_cov = jnp.broadcast_to(jnp.eye(2), (1, 2, 2, 2))
+    new_w = jnp.asarray([[0.8, 0.1]])
+    new_alive = jnp.asarray([[True, True]])
+    out = gm_ops.append(g, new_mean, new_cov, new_w, new_alive)
+    # capacity 2: keeps 0.8 and 0.5, drops 0.1
+    np.testing.assert_allclose(np.asarray(out.w[0]), [0.8, 0.5])
