@@ -1,0 +1,459 @@
+"""RB-PHD SLAM filter — batched, fixed-shape, one jitted function per phase.
+
+Re-implements the semantics of the reference ``RBPHDFilter``
+(reference: RBPHDFilter.hpp:72-1237) as dense masked array programs over the
+whole particle set:
+
+* ``predict``  = addBirthGaussians + particle propagation + landmark
+  covariance growth (RBPHDFilter.hpp:416-442);
+* ``update``   = batched EKF map update with the nM x nZ weight table
+  (RBPHDFilter.hpp:543-725), importance weighting with the exact RFS
+  measurement likelihood (RBPHDFilter.hpp:728-997, replaced by the
+  subset-sum DP of :mod:`rfs_slam_tpu.ops.rfs_likelihood`), GM merge/prune,
+  and ESS-gated systematic resampling (RBPHDFilter.hpp:500-539).
+
+Known, documented deviations from the reference (all order-dependence or
+approximation-class; parity is statistical — see SURVEY.md section 7):
+
+* merge is parallel-pass greedy instead of sequential greedy;
+* birth-candidate matching assigns each unused measurement to its best
+  candidate in one pass instead of sequentially mutating the list;
+* the RFS likelihood is EXACT for up to ``z_dp_max`` supported measurement
+  columns (the reference truncates to Murty's 200 best assignments);
+* angle differences are wrapped where the reference uses raw differences
+  (raw differences mis-evaluate near +-pi).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from rfs_slam_tpu.core import gaussian
+from rfs_slam_tpu.core.state import BirthCandidates, GMState, ParticleState
+from rfs_slam_tpu.ops import gm as gm_ops
+from rfs_slam_tpu.ops import resample as resample_ops
+from rfs_slam_tpu.ops.ekf import InnovationGates, correct_all, correct_single
+from rfs_slam_tpu.ops.rfs_likelihood import rfs_log_likelihood
+
+LOG_TINY = -80.0  # log-domain stand-in for denorm_min (RBPHDFilter.hpp:743)
+
+
+@dataclasses.dataclass(frozen=True)
+class RBPHDConfig:
+    """Static configuration (shapes + thresholds).
+
+    Mirrors ``RBPHDFilter::Config`` (reference: RBPHDFilter.hpp:90-146) plus
+    the capacity parameters that replace dynamic allocation.
+    """
+
+    n_particles: int = 200
+    map_capacity: int = 256          # padded GM size per particle
+    z_capacity: int = 16             # padded measurement-set size
+    new_capacity: int = 64           # cap on new Gaussians kept per update
+    birth_capacity: int = 16         # birth-candidate list capacity
+    eval_capacity: int = 15          # importanceWeightingEvalPointCount_
+    z_dp_max: int = 10               # exact-DP column budget for RFS likelihood
+
+    birth_gaussian_weight: float = 0.25
+    birth_count_threshold: int = 1   # birthGaussianMeasurementCountThreshold_
+    birth_check_threshold: int = 1
+    birth_support_dist: float = 1.0
+    birth_current_meas_count_threshold: int = 1
+    new_gaussian_md_threshold: float = 0.2  # newGaussianCreateInnovMDThreshold_
+    eval_pt_min_weight: float = 0.75
+    weighting_md_threshold: float = 3.0
+    merge_threshold: float = 0.5
+    merge_inflation: float = 1.5
+    prune_threshold: float = 0.2
+    min_updates_before_resample: int = 1
+    min_measurements_before_resample: int = 1
+    ess_threshold: float = 200.0
+    use_cluster_process: bool = False
+
+
+class RBPHDState(struct.PyTreeNode):
+    particles: ParticleState
+    gm: GMState
+    birth: BirthCandidates
+    last_z: jax.Array       # [Zc, DZ]   measurements of the previous update
+    last_unused: jax.Array  # [P, Zc]    unused-measurement mask per particle
+    n_in_fov: jax.Array     # [P] int32  landmarks in FOV at last update
+    n_updates: jax.Array    # ()  int32  updates since last resample
+    n_meas: jax.Array       # ()  int32  measurements since last resample
+
+
+class RBPHDFilter:
+    """Wires models + config into jit-ready pure step functions.
+
+    Equivalent of instantiating
+    ``RBPHDFilter<MotionModel, StaticProcessModel, MeasurementModel, KF>``
+    (e.g. rbphdslam2dSim.cpp:444-492).
+    """
+
+    def __init__(self, motion, lmk_model, meas_model,
+                 gates: InnovationGates, cfg: RBPHDConfig):
+        self.motion = motion
+        self.lmk = lmk_model
+        self.meas = meas_model
+        self.gates = gates
+        self.cfg = cfg
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, key: jax.Array, pose0, dz: int = 2,
+                   d: int = 2, dtype=jnp.float32) -> RBPHDState:
+        c = self.cfg
+        return RBPHDState(
+            particles=ParticleState.init(key, c.n_particles, pose0, dtype),
+            gm=GMState.empty(c.n_particles, c.map_capacity, d, dtype),
+            birth=BirthCandidates.empty(c.n_particles, c.birth_capacity, d, dtype),
+            last_z=jnp.zeros((c.z_capacity, dz), dtype),
+            last_unused=jnp.zeros((c.n_particles, c.z_capacity), bool),
+            n_in_fov=jnp.zeros((c.n_particles,), jnp.int32),
+            n_updates=jnp.zeros((), jnp.int32),
+            n_meas=jnp.zeros((), jnp.int32),
+        )
+
+    # --------------------------------------------------------------- predict
+    def predict(self, state: RBPHDState, u, dt,
+                use_model_noise: bool = True, use_input_noise: bool = False,
+                input_cov=None, birth_check: bool = True) -> RBPHDState:
+        """Reference: RBPHDFilter::predict (RBPHDFilter.hpp:416-442)."""
+        cfg = self.cfg
+        key, k_prop, k_birth = jax.random.split(state.particles.key, 3)
+
+        gm, birth = state.gm, state.birth
+        if birth_check:
+            gm, birth = self._add_birth_gaussians(state, k_birth)
+
+        # particle propagation (ParticleFilter::propagate via
+        # ProcessModel::sample — ProcessModel.hpp:125-150)
+        prop_keys = jax.random.split(k_prop, cfg.n_particles)
+        pose = jax.vmap(
+            lambda k, p: self.motion.sample(
+                k, p, u, dt, use_model_noise, use_input_noise, input_cov
+            )
+        )(prop_keys, state.particles.pose)
+
+        # landmark static step: cov += Q_lm (RBPHDFilter.hpp:433-439)
+        _, cov = self.lmk.static_step(gm.mean, gm.cov, dt)
+        gm = gm.replace(cov=jnp.where(gm.alive[..., None, None], cov, gm.cov))
+
+        return state.replace(
+            particles=state.particles.replace(pose=pose, key=key),
+            gm=gm, birth=birth,
+        )
+
+    def _add_birth_gaussians(self, state: RBPHDState, key: jax.Array):
+        """Reference: RBPHDFilter::addBirthGaussians (RBPHDFilter.hpp:1000-1084).
+
+        Candidate matching/promotion as a masked state machine; with
+        ``birth_count_threshold == 1`` (the 2-D sim configuration) every
+        unused measurement becomes a birth Gaussian immediately, matching the
+        reference exactly.
+        """
+        cfg = self.cfg
+        pose = state.particles.pose                       # [P, 3]
+        z = state.last_z                                  # [Zc, DZ]
+        unused = state.last_unused                        # [P, Zc]
+        birth = state.birth
+        P, Zc = unused.shape
+
+        # landmark estimate for every unused measurement via the inverse model
+        inv_mean, inv_cov = self.meas.inverse(pose[:, None, :], z[None, :, :])
+
+        few_in_fov = state.n_in_fov <= cfg.birth_current_meas_count_threshold
+
+        if cfg.birth_count_threshold == 1:
+            # immediate birth for every unused measurement
+            new_alive = unused
+            w_new = jnp.where(new_alive, cfg.birth_gaussian_weight, 0.0)
+            gm = gm_ops.append(state.gm, inv_mean, inv_cov, w_new, new_alive)
+            return gm, birth
+
+        # ---- candidate matching
+        pred = self.meas.measure(pose[:, None, :], birth.mean, birth.cov)
+        innov, _ = self.gates.innovation(
+            pred.z[:, :, None, :], z[None, None, :, :]
+        )                                                  # [P, C, Zc, DZ]
+        md2 = gaussian.quad_form(gaussian.inv(pred.S)[:, :, None], innov)
+        d2 = cfg.birth_support_dist**2
+        match = (
+            birth.alive[:, :, None] & unused[:, None, :] & (md2 <= d2)
+        )                                                  # [P, C, Zc]
+
+        # each unused z matches the first (lowest-index) matching candidate
+        c_ids = jnp.arange(birth.capacity)
+        first_c = jnp.min(
+            jnp.where(match, c_ids[None, :, None], birth.capacity), axis=1
+        )                                                  # [P, Zc]
+        z_matched = first_c < birth.capacity
+        claim = match & (c_ids[None, :, None] == first_c[:, None, :])
+
+        # candidate correction with its best-matching measurement
+        n_match = jnp.sum(claim, axis=2)                   # [P, C]
+        best_z = jnp.argmin(jnp.where(claim, md2, jnp.inf), axis=2)
+        z_best = jnp.take(z, best_z, axis=0)               # [P, C, DZ]
+        m_upd, c_upd, _, _, _ = correct_single(
+            self.meas, self.gates, pose[:, None, :], birth.mean, birth.cov, z_best
+        )
+        has_match = n_match > 0
+        birth = birth.replace(
+            mean=jnp.where(has_match[..., None], m_upd, birth.mean),
+            cov=jnp.where(has_match[..., None, None], c_upd, birth.cov),
+            n_support=birth.n_support + n_match,
+        )
+
+        # unmatched unused measurements become new candidates (or immediate
+        # births when the map is sparse in the FOV)
+        is_new = unused & ~z_matched
+        immediate = is_new & few_in_fov[:, None]
+        to_insert = is_new & ~immediate
+
+        gm = gm_ops.append(
+            state.gm, inv_mean, inv_cov,
+            jnp.where(immediate, cfg.birth_gaussian_weight, 0.0), immediate,
+        )
+
+        # scatter new candidates into free slots (rank-matching)
+        free_order = jnp.argsort(birth.alive, axis=1)      # free slots first
+        src_order = jnp.argsort(~to_insert, axis=1)        # new cands first
+        K = min(birth.capacity, Zc)
+        dest = free_order[:, :K]
+        src = src_order[:, :K]
+        n_free = jnp.sum(~birth.alive, axis=1, keepdims=True)
+        n_new = jnp.sum(to_insert, axis=1, keepdims=True)
+        ok = (jnp.arange(K)[None, :] < jnp.minimum(n_free, n_new))
+        rows = jnp.arange(P)[:, None]
+
+        def scat(dst_arr, src_arr, extra_dims):
+            src_v = jnp.take_along_axis(
+                src_arr, src.reshape(src.shape + (1,) * extra_dims), axis=1
+            )
+            upd = jnp.where(
+                ok.reshape(ok.shape + (1,) * extra_dims),
+                src_v,
+                jnp.take_along_axis(
+                    dst_arr, dest.reshape(dest.shape + (1,) * extra_dims), axis=1
+                ),
+            )
+            return dst_arr.at[rows, dest].set(upd)
+
+        birth = birth.replace(
+            mean=scat(birth.mean, inv_mean, 1),
+            cov=scat(birth.cov, inv_cov, 2),
+            n_support=scat(birth.n_support, jnp.ones_like(birth.n_support[:, :1]).repeat(Zc, 1), 0),
+            n_checks=scat(birth.n_checks, jnp.zeros((P, Zc), jnp.int32), 0),
+            alive=birth.alive.at[rows, dest].set(
+                jnp.where(ok, True, jnp.take_along_axis(birth.alive, dest, axis=1))
+            ),
+        )
+
+        # ---- candidate promotion / expiry (RBPHDFilter.hpp:1063-1080)
+        checks = birth.n_checks + 1
+        enough = birth.n_support >= cfg.birth_count_threshold
+        trigger = birth.alive & (
+            enough | (checks > cfg.birth_check_threshold) | few_in_fov[:, None]
+        )
+        promote = trigger & (enough | few_in_fov[:, None])
+        gm = gm_ops.append(
+            gm, birth.mean, birth.cov,
+            jnp.where(promote, cfg.birth_gaussian_weight, 0.0), promote,
+        )
+        birth = birth.replace(n_checks=checks, alive=birth.alive & ~trigger)
+        return gm, birth
+
+    # ---------------------------------------------------------------- update
+    def update(self, state: RBPHDState, z, z_mask) -> RBPHDState:
+        """Reference: RBPHDFilter::update (RBPHDFilter.hpp:444-541).
+
+        ``z``: [Zc, DZ] padded measurement set, ``z_mask``: [Zc] validity.
+        """
+        has_z = jnp.any(z_mask)
+        new_state = self._update_body(state, z, z_mask)
+        # empty measurement set: only the update counter advances
+        # (RBPHDFilter.hpp:448-452; note the reference leaves its stale unused-
+        # measurement lists pointing into the now-empty measurement vector — we
+        # keep the previous update's measurements instead)
+        out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(jnp.reshape(has_z, (1,) * a.ndim), b, a),
+            state.replace(n_updates=state.n_updates + 1),
+            new_state,
+        )
+        return out
+
+    def _update_body(self, state: RBPHDState, z, z_mask) -> RBPHDState:
+        cfg = self.cfg
+        gm = state.gm
+        pose = state.particles.pose
+        P, M = gm.w.shape
+        Zc = z.shape[0]
+        nZ = jnp.sum(z_mask)
+
+        # ---------- probability of detection (RBPHDFilter.hpp:597-609)
+        pd_raw, close = self.meas.pd(pose[:, None, :], gm.mean)
+        pd_raw = jnp.where(gm.alive, pd_raw, 0.0)
+        close = close & gm.alive
+        pd = jnp.where(close, 1.0, pd_raw)   # close-to-limit forces Pd = 1
+        n_in_fov = jnp.sum((pd != 0.0) & gm.alive, axis=1).astype(jnp.int32)
+
+        # ---------- batched EKF correction (KalmanFilter.hpp:261-342)
+        corr = correct_all(self.meas, self.gates, pose, gm.mean, gm.cov, z)
+
+        # ---------- nM x nZ weight table (RBPHDFilter.hpp:620-659)
+        md_gate = corr.md2 <= cfg.new_gaussian_md_threshold**2
+        cell = (
+            gm.alive[:, :, None] & (pd[:, :, None] > 0.0) & z_mask[None, None, :]
+            & md_gate & (corr.likelihood > 0.0)
+        )
+        w_tab = jnp.where(
+            cell, pd[:, :, None] * gm.w[:, :, None] * corr.likelihood, 0.0
+        )
+        clutter_z = jnp.broadcast_to(
+            self.meas.clutter_intensity(z, nZ), (Zc,)
+        )
+        col_sum = clutter_z[None, :] + jnp.sum(w_tab, axis=1)     # [P, Zc]
+        w_tab = jnp.where(z_mask[None, None, :], w_tab / col_sum[:, None, :], 0.0)
+
+        log_w = state.particles.log_w
+        if cfg.use_cluster_process:
+            # single-cluster-process weighting (RBPHDFilter.hpp:652-666)
+            w_km_sum = jnp.sum(jnp.where(gm.alive, gm.w, 0.0), axis=1)
+            log_prod = jnp.sum(
+                jnp.where(z_mask[None, :], jnp.log(col_sum), 0.0), axis=1
+            )
+            log_w = log_w + w_km_sum + log_prod
+
+        # ---------- missed-detection weights (RBPHDFilter.hpp:686-706)
+        w_km = gm.w
+        w_miss = (1.0 - pd) * w_km
+        row_sum = jnp.sum(w_tab, axis=2)
+        delta = pd * w_km - row_sum
+        comp = close & (w_km > cfg.birth_gaussian_weight) & (delta > 0.0)
+        w_miss = jnp.where(comp, jnp.minimum(w_miss + delta, 1.0), w_miss)
+        gm_old = gm.replace(
+            w=jnp.where(gm.alive, w_miss, gm.w),
+            w_prev=jnp.where(gm.alive, w_km, gm.w_prev),
+        )
+
+        # ---------- unused measurements (RBPHDFilter.hpp:709-720)
+        used = jnp.any(w_tab > 0.0, axis=1)                        # [P, Zc]
+        unused = z_mask[None, :] & ~used
+
+        # ---------- new Gaussians, compacted to new_capacity
+        new_w_flat = w_tab.reshape(P, M * Zc)
+        k = min(cfg.new_capacity, M * Zc)
+        top_w, top_idx = jax.lax.top_k(new_w_flat, k)
+        m_idx = top_idx // Zc
+        rows = jnp.arange(P)[:, None]
+        new_mean = corr.mean_upd.reshape(P, M * Zc, -1)[rows, top_idx]
+        new_cov = corr.cov_upd[rows, m_idx]
+        new_alive = top_w > 0.0
+        gm_full = gm_ops.append(gm_old, new_mean, new_cov, top_w, new_alive,
+                                capacity=cfg.map_capacity)
+
+        # ---------- importance weighting (RBPHDFilter.hpp:728-997)
+        if not cfg.use_cluster_process:
+            log_w = self._importance_weights(
+                log_w, pose, gm_full, z, z_mask, clutter_z, nZ
+            )
+
+        # ---------- merge + prune (RBPHDFilter.hpp:501-516)
+        gm_full = gm_ops.merge(gm_full, cfg.merge_threshold, cfg.merge_inflation)
+        gm_full = gm_ops.prune(gm_full, cfg.prune_threshold)
+
+        # ---------- resampling (RBPHDFilter.hpp:526-539)
+        key, k_rs = jax.random.split(state.particles.key)
+        allow = (
+            (state.n_updates + 1 >= cfg.min_updates_before_resample)
+            & (state.n_meas + nZ >= cfg.min_measurements_before_resample)
+        )
+        anc, new_log_w, did = resample_ops.maybe_resample(
+            k_rs, log_w, cfg.ess_threshold, allow=allow
+        )
+        gathered = resample_ops.gather_particles(
+            {
+                "pose": pose, "gm": gm_full, "birth": state.birth,
+                "unused": unused, "fov": n_in_fov,
+            },
+            anc,
+        )
+
+        particles = state.particles.replace(
+            pose=gathered["pose"], log_w=new_log_w, parent=anc, key=key,
+        )
+        return RBPHDState(
+            particles=particles,
+            gm=gathered["gm"],
+            birth=gathered["birth"],
+            last_z=z,
+            last_unused=gathered["unused"],
+            n_in_fov=gathered["fov"],
+            n_updates=jnp.where(did, 0, state.n_updates + 1),
+            n_meas=jnp.where(did, 0, state.n_meas + nZ),
+        )
+
+    def _importance_weights(self, log_w, pose, gm: GMState, z, z_mask,
+                            clutter_z, nZ):
+        """Reference: RBPHDFilter::importanceWeighting (RBPHDFilter.hpp:728-819)."""
+        cfg = self.cfg
+        P, M = gm.w.shape
+        E = cfg.eval_capacity
+
+        # eval-point selection: top-E by weight among w >= minWeight, Pd > 0
+        pd_eval, _ = self.meas.pd(pose[:, None, :], gm.mean)
+        elig = gm.alive & (gm.w >= cfg.eval_pt_min_weight) & (pd_eval > 0.0)
+        score = jnp.where(elig, gm.w, -jnp.inf)
+        _, eval_idx = jax.lax.top_k(score, E)              # [P, E]
+        rows = jnp.arange(P)[:, None]
+        eval_valid = jnp.take_along_axis(elig, eval_idx, axis=1)
+        eval_mean = gm.mean[rows, eval_idx]                # [P, E, D]
+        eval_pd = jnp.take_along_axis(pd_eval, eval_idx, axis=1)
+        n_eval = jnp.sum(eval_valid, axis=1)
+
+        # GM intensity at eval points before/after update (hpp:765-800)
+        lik_em, _ = gaussian.eval_likelihood(
+            gm.mean[:, None, :, :], gm.cov[:, None, :, :],
+            eval_mean[:, :, None, :],
+        )                                                   # [P, E, M]
+        lik_em = jnp.where(gm.alive[:, None, :], lik_em, 0.0)
+        tiny = jnp.asarray(gaussian.TINY, lik_em.dtype)
+        int_before = tiny + jnp.einsum("pem,pm->pe", lik_em,
+                                       jnp.where(gm.alive, gm.w_prev, 0.0))
+        int_after = tiny + jnp.einsum("pem,pm->pe", lik_em,
+                                      jnp.where(gm.alive, gm.w, 0.0))
+        log_int_ratio = jnp.sum(
+            jnp.where(eval_valid, jnp.log(int_before) - jnp.log(int_after), 0.0),
+            axis=1,
+        )
+
+        sum_before = jnp.sum(jnp.where(gm.alive, gm.w_prev, 0.0), axis=1)
+        sum_after = jnp.sum(jnp.where(gm.alive, gm.w, 0.0), axis=1)
+
+        # RFS measurement likelihood at eval points: expected measurement with
+        # ZERO landmark covariance (S = R), gated (hpp:847-863)
+        predE = self.meas.measure(pose[:, None, :], eval_mean)
+        innov, _ = self.gates.innovation(
+            predE.z[:, :, None, :], z[None, None, :, :]
+        )
+        md2 = gaussian.quad_form(gaussian.inv(predE.S)[:, :, None], innov)
+        dz = z.shape[-1]
+        norm = jnp.sqrt((2 * jnp.pi) ** dz * gaussian.det(predE.S))
+        L = jnp.exp(-0.5 * md2) / norm[:, :, None]
+        L = jnp.where(jnp.isfinite(L), L, 0.0)
+        L = jnp.where(md2 <= cfg.weighting_md_threshold**2, L, 0.0)
+        L = L * eval_pd[:, :, None]
+
+        log_ci = jnp.log(self.meas.clutter_intensity_integral(nZ))
+        log_rfs = rfs_log_likelihood(
+            L, eval_pd, eval_valid, clutter_z[None, :], z_mask, log_ci,
+            z_dp_max=cfg.z_dp_max,
+        )
+
+        out = log_w + log_rfs + log_int_ratio + (sum_after - sum_before)
+        # no eval points: weight <- denorm_min (hpp:741-744)
+        return jnp.where(n_eval == 0, LOG_TINY, out)
