@@ -1,0 +1,72 @@
+"""Device mesh + particle-axis sharding.
+
+The reference parallelizes over particles with OpenMP threads in shared
+memory (reference: RBPHDFilter.hpp:469-520, CMakeLists.txt:38-46).  The TPU
+equivalent shards the particle axis of every state array over a 1-D
+``jax.sharding.Mesh``; all per-particle phases are embarrassingly parallel,
+and XLA GSPMD inserts the only two collectives the algorithm needs:
+
+* weight normalization / ESS: an all-reduce over the particle axis
+  (psum of exp(log_w) terms inside logsumexp);
+* resampling: the ancestor gather (all-to-all) when particles migrate
+  between shards (ParticleFilter.hpp:446-479's deep copies).
+
+Multi-host: call :func:`init_distributed` first (jax.distributed), then the
+same code runs with ICI collectives within a slice and DCN across slices.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+PARTICLE_AXIS = "particles"
+
+
+def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Initialize the multi-host runtime (no-op if single-process)."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator, num_processes, process_id)
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over the particle axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (PARTICLE_AXIS,))
+
+
+def particle_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(PARTICLE_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def state_shardings(tree: Any, mesh: Mesh, n_particles: int):
+    """Per-leaf shardings: leading axis == n_particles -> shard, else replicate.
+
+    Works for RBPHDState / FastSLAM state / plain pytrees of arrays.
+    """
+    shard = particle_sharding(mesh)
+    repl = replicated(mesh)
+
+    def spec(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == n_particles:
+            return shard
+        return repl
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
+def shard_state(tree: Any, mesh: Mesh, n_particles: int):
+    """Place a state pytree on the mesh with particle-axis sharding."""
+    shardings = state_shardings(tree, mesh, n_particles)
+    return jax.tree_util.tree_map(jax.device_put, tree, shardings)

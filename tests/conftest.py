@@ -25,6 +25,12 @@ from rfs_slam_tpu.utils import cache  # noqa: E402
 
 cache.enable()
 
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores JAX_PLATFORMS=cpu; pin the default device to the
+# virtual CPU mesh explicitly so tests compile with the cheap CPU pipeline.
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
