@@ -1,0 +1,169 @@
+"""Benchmark: RB-PHD SLAM, reference rbphdslam2dSim workload, on TPU.
+
+Workload anchors (BASELINE.md): 3000 timesteps, 200 particles, 50 landmarks,
+P_D 0.99, clutter 1e-4 (cfg/rbphdslam2dSim.xml).  The metric is filter
+timesteps/second for the full pipeline (predict + births + batched EKF map
+update + importance weighting with the exact RFS likelihood + merge + prune +
+ESS-gated resampling), steady-state (post-compile), whole-run scan on device.
+
+``vs_baseline`` compares against the OpenMP C++ baseline measured on this
+host by ``native/baseline`` (same workload, same phases, double precision,
+all cores — the reference's own parallelization model, CMakeLists.txt:38-46).
+If the native baseline binary hasn't been built/run yet, a stored measurement
+is used (see native/README.md).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+from rfs_slam_tpu.utils import cache
+
+cache.enable()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from rfs_slam_tpu.filters.rbphd import RBPHDConfig, RBPHDFilter  # noqa: E402
+from rfs_slam_tpu.io import sim2d  # noqa: E402
+from rfs_slam_tpu.models.motion import Odometry2D, StaticLandmark  # noqa: E402
+from rfs_slam_tpu.models.measurement import RangeBearing  # noqa: E402
+from rfs_slam_tpu.ops.ekf import InnovationGates  # noqa: E402
+
+N_PARTICLES = 200
+T = 3000
+Z_CAPACITY = 40
+MAP_CAPACITY = 256
+
+
+def build():
+    sim_cfg = sim2d.Sim2DConfig()  # the rbphdslam2dSim.xml defaults
+    data = sim2d.generate(sim_cfg, traj_seed=1, noise_seed=1,
+                          z_capacity=Z_CAPACITY)
+    dt = sim_cfg.dt
+    motion = Odometry2D(
+        Q=jnp.diag(jnp.asarray([sim_cfg.vardx, sim_cfg.vardy, sim_cfg.vardz]))
+        * (1.5 * dt * dt)
+    )
+    lmk = StaticLandmark(
+        Q=jnp.diag(jnp.asarray([sim_cfg.varlmx, sim_cfg.varlmy])) * dt * dt
+    )
+    meas = RangeBearing(
+        R=jnp.diag(jnp.asarray([sim_cfg.varzr, sim_cfg.varzb])) * 10.0,
+        pd_const=sim_cfg.pd, clutter=sim_cfg.clutter,
+        r_max=sim_cfg.range_max, r_min=sim_cfg.range_min,
+        r_buf=sim_cfg.range_buffer,
+    )
+    gates = InnovationGates.range_bearing(range_t=1.0, bearing_t=0.2)
+    cfg = RBPHDConfig(
+        n_particles=N_PARTICLES, map_capacity=MAP_CAPACITY,
+        z_capacity=Z_CAPACITY, new_capacity=64, birth_capacity=16,
+        eval_capacity=15, z_dp_max=10,
+        birth_gaussian_weight=0.01, new_gaussian_md_threshold=3.0,
+        eval_pt_min_weight=0.75, weighting_md_threshold=3.0,
+        merge_threshold=0.5, merge_inflation=1.5, prune_threshold=0.01,
+        min_updates_before_resample=2, ess_threshold=100.0,
+    )
+    filt = RBPHDFilter(motion, lmk, meas, gates, cfg)
+    return sim_cfg, data, filt
+
+
+def run_tpu(sim_cfg, data, filt):
+    state = filt.init_state(jax.random.PRNGKey(0), jnp.zeros(3))
+
+    def step(state, inp):
+        odo, z, z_mask, gt, lock = inp
+        state = filt.predict(state, odo, sim_cfg.dt)
+        pose = jnp.where(
+            lock, jnp.broadcast_to(gt, state.particles.pose.shape),
+            state.particles.pose,
+        )
+        state = state.replace(particles=state.particles.replace(pose=pose))
+        state = filt.update(state, z, z_mask)
+        best = jnp.argmax(state.particles.log_w)
+        return state, state.particles.pose[best]
+
+    inputs = (
+        jnp.asarray(data.odometry[1:], jnp.float32),
+        jnp.asarray(data.z[1:], jnp.float32),
+        jnp.asarray(data.z_mask[1:]),
+        jnp.asarray(data.gt_pose[1:], jnp.float32),
+        jnp.arange(1, T) <= 100,
+    )
+
+    @jax.jit
+    def run(state, inputs):
+        return jax.lax.scan(step, state, inputs)
+
+    t0 = time.time()
+    out = run(state, inputs)
+    jax.block_until_ready(out)
+    compile_and_first = time.time() - t0
+
+    times = []
+    for _ in range(3):
+        s2 = filt.init_state(jax.random.PRNGKey(2), jnp.zeros(3))
+        t0 = time.time()
+        out = run(s2, inputs)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    best_t = min(times)
+    _, best_poses = out
+    err = np.linalg.norm(
+        np.asarray(best_poses)[:, :2] - data.gt_pose[1:, :2], axis=1
+    )
+    return {
+        "timesteps_per_sec": (T - 1) / best_t,
+        "wall_s": best_t,
+        "compile_s": compile_and_first,
+        "median_pose_err_m": float(np.median(err[150:])),
+    }
+
+
+def baseline_tps():
+    """OpenMP C++ baseline timesteps/s (measured on this host)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    result_file = os.path.join(here, "native", "baseline_result.json")
+    binary = os.path.join(here, "native", "baseline")
+    if not os.path.exists(result_file) and os.path.exists(binary):
+        try:
+            out = subprocess.run(
+                [binary], capture_output=True, text=True, timeout=1800
+            )
+            with open(result_file, "w") as f:
+                f.write(out.stdout.strip().splitlines()[-1])
+        except Exception:
+            pass
+    if os.path.exists(result_file):
+        with open(result_file) as f:
+            return json.load(f)["timesteps_per_sec"]
+    return None
+
+
+def main():
+    sim_cfg, data, filt = build()
+    stats = run_tpu(sim_cfg, data, filt)
+    base = baseline_tps()
+    vs = stats["timesteps_per_sec"] / base if base else None
+    print(json.dumps({
+        "metric": "rbphd2dsim_200p_timesteps_per_sec",
+        "value": round(stats["timesteps_per_sec"], 2),
+        "unit": "timesteps/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "detail": {
+            "compile_s": round(stats["compile_s"], 1),
+            "wall_s": round(stats["wall_s"], 3),
+            "median_pose_err_m": round(stats["median_pose_err_m"], 4),
+            "baseline_timesteps_per_sec": base,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""fastslam2dSim — FastSLAM 1.0 / MH-FastSLAM on the 2-D sim.
+
+TPU-native equivalent of the reference executable (fastslam2dSim.cpp);
+MH-FastSLAM is selected by ``<maxNDataAssocHypotheses>`` in the XML, exactly
+as in the reference (cfg/mhfastslam2dSim.xml differs from
+cfg/fastslam2dSim.xml only in that key).
+
+Usage::
+
+    python -m rfs_slam_tpu.apps.fastslam2dsim --cfg cfg/fastslam2dSim.xml \
+        [--trajectory N] [--seed N] [--steps N] [--logdir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+
+from rfs_slam_tpu.utils import cache
+
+cache.enable()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rfs_slam_tpu.filters.fastslam import FastSLAMConfig, FastSLAMFilter
+from rfs_slam_tpu.io import logs, sim2d
+from rfs_slam_tpu.io.xmlconfig import XmlConfig, load_sim2d
+from rfs_slam_tpu.models.motion import Odometry2D, StaticLandmark
+from rfs_slam_tpu.models.measurement import RangeBearing
+from rfs_slam_tpu.ops.ekf import InnovationGates
+
+
+def build_filter_from_xml(cfg: XmlConfig, sim_cfg: sim2d.Sim2DConfig,
+                          z_capacity: int, n_particles: int | None = None):
+    """Wiring per fastslam2dSim.cpp:452-482."""
+    dt = sim_cfg.dt
+    n_particles = n_particles or cfg.get("filter.nParticles", 200, int)
+    p_infl = cfg.get("filter.predict.processNoiseInflationFactor", 1.0)
+    z_infl = cfg.get("filter.update.measurementNoiseInflationFactor", 1.0)
+
+    motion = Odometry2D(
+        Q=jnp.diag(jnp.asarray([sim_cfg.vardx, sim_cfg.vardy, sim_cfg.vardz]))
+        * (p_infl * dt * dt))
+    lmk = StaticLandmark(
+        Q=jnp.diag(jnp.asarray([sim_cfg.varlmx, sim_cfg.varlmy])) * (dt * dt))
+    meas = RangeBearing(
+        R=jnp.diag(jnp.asarray([sim_cfg.varzr, sim_cfg.varzb])) * z_infl,
+        pd_const=sim_cfg.pd, clutter=sim_cfg.clutter,
+        r_max=sim_cfg.range_max, r_min=sim_cfg.range_min,
+        r_buf=sim_cfg.range_buffer)
+    gates = InnovationGates.range_bearing(
+        range_t=cfg.get("filter.update.KalmanFilter.innovationThreshold.range", -1.0),
+        bearing_t=cfg.get("filter.update.KalmanFilter.innovationThreshold.bearing", -1.0))
+    fcfg = FastSLAMConfig(
+        n_particles=n_particles,
+        map_capacity=128,
+        z_capacity=z_capacity,
+        nmz_capacity=max(z_capacity + 4, 32),
+        candidate_capacity=16,
+        max_hypotheses=cfg.get("filter.update.maxNDataAssocHypotheses", 1, int),
+        max_da_loglik_diff=cfg.get("filter.update.maxDataAssocLogLikelihoodDiff", 3.0),
+        min_log_likelihood=cfg.get("filter.weighting.minLogMeasurementLikelihood", -10.0),
+        existence_prior=0.5,
+        prune_threshold=cfg.get("filter.prune.threshold", -5.0),
+        min_updates_before_resample=cfg.get("filter.resampling.minTimesteps", 1, int),
+        ess_threshold=cfg.get("filter.resampling.effNParticle", float(n_particles)),
+    )
+    return FastSLAMFilter(motion, lmk, meas, gates, fcfg)
+
+
+def run(filt, sim_cfg, data, gt_lock_steps: int = 100):
+    state = filt.init_state(jax.random.PRNGKey(0), jnp.zeros(3))
+    T = sim_cfg.timesteps
+
+    def step(state, inp):
+        odo, z, z_mask, gt, lock = inp
+        state = filt.predict(state, odo, sim_cfg.dt)
+        pose = jnp.where(lock, jnp.broadcast_to(gt, state.particles.pose.shape),
+                         state.particles.pose)
+        state = state.replace(particles=state.particles.replace(pose=pose))
+        state = filt.update(state, z, z_mask)
+        w = jnp.exp(state.particles.log_w)
+        best = jnp.argmax(w)
+        gm = state.gm
+        cov_packed = jnp.stack(
+            [gm.cov[best, :, 0, 0], gm.cov[best, :, 0, 1], gm.cov[best, :, 1, 1]],
+            axis=-1)
+        return state, (state.particles.pose, w, best, gm.mean[best],
+                       cov_packed, gm.w[best], gm.alive[best])
+
+    inputs = (
+        jnp.asarray(data.odometry[1:], jnp.float32),
+        jnp.asarray(data.z[1:], jnp.float32),
+        jnp.asarray(data.z_mask[1:]),
+        jnp.asarray(data.gt_pose[1:], jnp.float32),
+        jnp.arange(1, T) <= gt_lock_steps,
+    )
+
+    @jax.jit
+    def scan(state, inputs):
+        return jax.lax.scan(step, state, inputs)
+
+    t0 = time.time()
+    state, outs = scan(state, inputs)
+    jax.block_until_ready(outs)
+    return state, jax.tree_util.tree_map(np.asarray, outs), time.time() - t0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--cfg", required=True)
+    ap.add_argument("--trajectory", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--logdir", default=None)
+    ap.add_argument("--particles", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+    cfg = XmlConfig(args.cfg)
+    sim_cfg = load_sim2d(cfg)
+    if args.steps:
+        sim_cfg = dataclasses.replace(sim_cfg, timesteps=args.steps)
+    data = sim2d.generate(sim_cfg, traj_seed=args.trajectory,
+                          noise_seed=args.seed)
+    zc = data.z.shape[1]
+    filt = build_filter_from_xml(cfg, sim_cfg, z_capacity=max(zc, 4),
+                                 n_particles=args.particles)
+    print(f"fastslam2dsim: T={sim_cfg.timesteps} P={filt.cfg.n_particles} "
+          f"H={filt.cfg.max_hypotheses} Zmax={zc} device={jax.devices()[0]}")
+    state, outs, wall = run(filt, sim_cfg, data)
+    poses, weights, best, gm_mean, gm_cov, gm_w, gm_alive = outs
+    T = sim_cfg.timesteps
+    print(f"done: {T - 1} steps in {wall:.2f}s "
+          f"({(T - 1) / wall:.1f} timesteps/s incl. compile)")
+
+    logdir = args.logdir or cfg.get("logging.logDirPrefix", "data/fastslam", str)
+    if cfg.get("logging.logResultsToFile", 0, int) or args.logdir:
+        times = np.arange(1, T) * sim_cfg.dt
+        logs.write_sim_data(logdir, data, dt=sim_cfg.dt, cfg_src_path=args.cfg)
+        logs.write_particle_poses(logdir, times, poses, weights)
+        logs.write_landmark_estimates(logdir, times, best, gm_mean, gm_cov,
+                                      gm_w, gm_alive)
+        err = np.linalg.norm(
+            poses[np.arange(T - 1), best, :2] - data.gt_pose[1:, :2], axis=1)
+        print(f"logs -> {logdir}; median best-particle pose err "
+              f"{np.median(err[min(150, T // 2):]):.4f} m")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,402 @@
+"""FastSLAM 1.0 / MH-FastSLAM — batched, fixed-shape.
+
+Re-implements the reference ``FastSLAM`` filter (reference:
+FastSLAM.hpp:77-819): per-particle EKF landmark maps with log-odds existence
+weights, Hungarian/Murty k-best data association, candidate-gated landmark
+birth, and ESS-gated resampling with deep map copies.
+
+Mapping to arrays:
+
+* the per-particle in-range landmark selection (FastSLAM.hpp:450-465) becomes
+  a rank-compaction: in-range landmarks are permuted to the leading rows of a
+  fixed ``[NMZ, NMZ]`` log-likelihood table initialized at
+  ``min_log_likelihood`` (exactly the reference's padded-square table);
+* single-hypothesis DA = batched Hungarian max-sum on that table
+  (= the best Murty solution after the reference's ``CostMatrix::reduce``
+  optimization, FastSLAM.hpp:493-543);
+* MH-FastSLAM expands every particle into ``max_hypotheses`` Murty k-best
+  hypotheses each update, splitting its weight evenly
+  (FastSLAM.hpp:547-563), then ALWAYS resamples back to ``n_particles``
+  (the reference grows the particle set until ``nParticlesMax_`` then
+  force-resamples — a fixed-shape equivalent, parity statistical);
+* the landmark-candidate pipeline is the same masked state machine as the
+  RB-PHD birth (promoted candidates enter with weight
+  ``logit(prior) * nChecks``, FastSLAM.hpp:692-698).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from rfs_slam_tpu.core import gaussian
+from rfs_slam_tpu.core.state import BirthCandidates, GMState, ParticleState
+from rfs_slam_tpu.ops import gm as gm_ops
+from rfs_slam_tpu.ops import resample as resample_ops
+from rfs_slam_tpu.ops.assignment import hungarian, murty
+from rfs_slam_tpu.ops.ekf import InnovationGates, correct_single
+
+
+@dataclasses.dataclass(frozen=True)
+class FastSLAMConfig:
+    """Mirrors ``FastSLAM::Config`` (FastSLAM.hpp:109-158) + capacities."""
+
+    n_particles: int = 200
+    map_capacity: int = 128
+    z_capacity: int = 16
+    nmz_capacity: int = 32           # DA table size (>= max in-range lmks, >= Zc)
+    candidate_capacity: int = 16
+
+    max_hypotheses: int = 1          # maxNDataAssocHypotheses_
+    max_da_loglik_diff: float = 3.0  # maxDataAssocLogLikelihoodDiff_
+    min_log_likelihood: float = -10.0  # minLogMeasurementLikelihood_
+    existence_prior: float = 0.5     # landmarkExistencePrior_
+    lock_weight: float = 10.0        # landmarkLockWeight_
+    prune_threshold: float = -5.0    # mapExistencePruneThreshold_ (log odds)
+    prune_z_threshold: int = 0       # pruningMeasurementsThreshold_
+    cand_support_dist: float = 1.0
+    cand_count_threshold: int = 1
+    cand_check_threshold: int = 2
+    cand_current_meas_count_threshold: int = 1
+    min_updates_before_resample: int = 1
+    min_measurements_before_resample: int = 1
+    ess_threshold: float = 200.0
+
+
+class FastSLAMState(struct.PyTreeNode):
+    particles: ParticleState
+    gm: GMState                 # w = log-odds existence
+    cand: BirthCandidates
+    n_in_fov: jax.Array         # [P] int32
+    n_updates: jax.Array
+    n_meas: jax.Array
+
+
+class FastSLAMFilter:
+    def __init__(self, motion, lmk_model, meas_model,
+                 gates: InnovationGates, cfg: FastSLAMConfig):
+        self.motion = motion
+        self.lmk = lmk_model
+        self.meas = meas_model
+        self.gates = gates
+        self.cfg = cfg
+
+    def init_state(self, key, pose0, d: int = 2, dtype=jnp.float32):
+        c = self.cfg
+        return FastSLAMState(
+            particles=ParticleState.init(key, c.n_particles, pose0, dtype),
+            gm=GMState.empty(c.n_particles, c.map_capacity, d, dtype),
+            cand=BirthCandidates.empty(c.n_particles, c.candidate_capacity, d, dtype),
+            n_in_fov=jnp.zeros((c.n_particles,), jnp.int32),
+            n_updates=jnp.zeros((), jnp.int32),
+            n_meas=jnp.zeros((), jnp.int32),
+        )
+
+    # --------------------------------------------------------------- predict
+    def predict(self, state: FastSLAMState, u, dt,
+                use_model_noise=True, use_input_noise=False, input_cov=None):
+        """FastSLAM::predict (FastSLAM.hpp:360-386): propagate + landmark step."""
+        cfg = self.cfg
+        key, k_prop = jax.random.split(state.particles.key)
+        prop_keys = jax.random.split(k_prop, cfg.n_particles)
+        pose = jax.vmap(
+            lambda k, p: self.motion.sample(
+                k, p, u, dt, use_model_noise, use_input_noise, input_cov
+            )
+        )(prop_keys, state.particles.pose)
+        _, cov = self.lmk.static_step(state.gm.mean, state.gm.cov, dt)
+        gm = state.gm.replace(
+            cov=jnp.where(state.gm.alive[..., None, None], cov, state.gm.cov)
+        )
+        return state.replace(
+            particles=state.particles.replace(pose=pose, key=key), gm=gm
+        )
+
+    # ---------------------------------------------------------------- update
+    def update(self, state: FastSLAMState, z, z_mask):
+        has_z = jnp.any(z_mask)
+        new_state = self._update_body(state, z, z_mask)
+        out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(jnp.reshape(has_z, (1,) * a.ndim), b, a),
+            state.replace(n_updates=state.n_updates + 1),
+            new_state,
+        )
+        return out
+
+    def _da_table(self, pose, gm: GMState, z, z_mask):
+        """In-range compaction + padded log-likelihood table.
+
+        Returns (table [P, NMZ, NMZ], lm_rank_idx [P, NMZ], row_valid,
+        pd_rank, close_rank).
+        """
+        cfg = self.cfg
+        P, M = gm.w.shape
+        NMZ = cfg.nmz_capacity
+        pd, close = self.meas.pd(pose[:, None, :], gm.mean)
+        in_range = gm.alive & ((pd > 0.0) | close)          # FastSLAM.hpp:456-465
+        # rank-compact in-range landmarks to leading rows (stable by index)
+        order = jnp.argsort(~in_range, axis=1, stable=True)  # [P, M]
+        if M >= NMZ:
+            lm_idx = order[:, :NMZ]
+            row_valid = jnp.take_along_axis(in_range, lm_idx, axis=1)
+        else:
+            # pad with out-of-range index M: gathers clamp (masked by
+            # row_valid=False) and scatters drop out-of-bounds rows
+            lm_idx = jnp.pad(order, ((0, 0), (0, NMZ - M)), constant_values=M)
+            row_valid = jnp.pad(
+                jnp.take_along_axis(in_range, order, axis=1),
+                ((0, 0), (0, NMZ - M)),
+            )
+        rows = jnp.arange(P)[:, None]
+        lm_mean = gm.mean[rows, lm_idx]
+        lm_cov = gm.cov[rows, lm_idx]
+        pd_rank = jnp.take_along_axis(pd, lm_idx, axis=1)
+        close_rank = jnp.take_along_axis(close, lm_idx, axis=1)
+
+        pred = self.meas.measure(pose[:, None, :], lm_mean, lm_cov)
+        innov, _ = self.gates.innovation(
+            pred.z[:, :, None, :], z[None, None, :, :]
+        )                                                   # [P, NMZ, Zc, DZ]
+        md2 = gaussian.quad_form(gaussian.inv(pred.S)[:, :, None], innov)
+        dz = z.shape[-1]
+        norm_log = 0.5 * (jnp.log(gaussian.det(pred.S)) + dz * gaussian.LOG_2PI)
+        logL = -0.5 * md2 - norm_log[:, :, None]
+        ok = row_valid[:, :, None] & pred.valid[:, :, None] & z_mask[None, None, :]
+        logL = jnp.where(ok, jnp.maximum(logL, cfg.min_log_likelihood),
+                         cfg.min_log_likelihood)
+
+        Zc = z.shape[0]
+        table = jnp.full((P, NMZ, NMZ), cfg.min_log_likelihood, logL.dtype)
+        table = table.at[:, :, :Zc].set(logL)
+        return table, lm_idx, row_valid, pd_rank, close_rank
+
+    def _apply_hypothesis(self, pose, gm: GMState, z, z_mask, da, table,
+                          lm_idx, row_valid, pd_rank, log_w):
+        """EKF updates + existence log-odds + weight for one DA hypothesis.
+
+        ``da``: [P, NMZ] column assigned to each landmark rank.
+        Reference: FastSLAM.hpp:569-621 + weight at :710-717.
+        """
+        cfg = self.cfg
+        P, M = gm.w.shape
+        NMZ = cfg.nmz_capacity
+        Zc = z.shape[0]
+        rows = jnp.arange(P)[:, None]
+
+        da_z = jnp.minimum(da, Zc - 1)
+        zsel = z[da_z]                                      # [P, NMZ, DZ]
+        ranks = jnp.arange(NMZ)[None, :]
+        L_da = table[rows, ranks, da]
+        assoc_ok = (
+            row_valid & (da < Zc)
+            & jnp.take_along_axis(
+                jnp.broadcast_to(z_mask[None, :], (P, Zc)), da_z, axis=1)
+            & (L_da > cfg.min_log_likelihood)
+        )
+
+        lm_mean = gm.mean[rows, lm_idx]
+        lm_cov = gm.cov[rows, lm_idx]
+        m_upd, c_upd, _, _, kf_ok = correct_single(
+            self.meas, self.gates, pose[:, None, :], lm_mean, lm_cov, zsel
+        )
+        updated = assoc_ok & kf_ok                          # isUpdatePerformed
+
+        # existence probability update (FastSLAM.hpp:599-620)
+        nZ = jnp.sum(z_mask)
+        n_clutter = self.meas.clutter_intensity_integral(nZ)
+        p_fa = n_clutter / jnp.maximum(nZ, 1)
+        prior = cfg.existence_prior
+        pd = pd_rank
+        p_up = ((1 - pd) * p_fa * prior + pd * prior) / (
+            p_fa + (1 - p_fa) * pd * prior
+        )
+        p_down = ((1 - pd) * prior) / ((1 - prior) + (1 - pd) * prior)
+        w_rank = gm.w[rows, lm_idx]
+        locked = w_rank > cfg.lock_weight
+        p_exist = jnp.where(updated, p_up, jnp.where(locked, 0.5, p_down))
+        dw = jnp.log(p_exist) - jnp.log1p(-p_exist)
+        w_new_rank = w_rank + jnp.where(row_valid, dw, 0.0)
+
+        # scatter rank-space results back to landmark slots
+        gm_mean = gm.mean.at[rows, lm_idx].set(
+            jnp.where(updated[..., None], m_upd, lm_mean))
+        gm_cov = gm.cov.at[rows, lm_idx].set(
+            jnp.where(updated[..., None, None], c_upd, lm_cov))
+        gm_w = gm.w.at[rows, lm_idx].set(
+            jnp.where(row_valid, w_new_rank, w_rank))
+        gm = gm.replace(mean=gm_mean, cov=gm_cov, w=gm_w)
+
+        # measurement usage + particle weight (FastSLAM.hpp:611, 710-717)
+        z_used = jnp.zeros((P, Zc), bool).at[rows, da_z].max(updated)
+        log_w = log_w + jnp.sum(jnp.where(updated, L_da, 0.0), axis=1)
+        n_in_fov = jnp.sum(updated, axis=1).astype(jnp.int32)
+        return gm, z_used, log_w, n_in_fov
+
+    def _candidates(self, pose, gm: GMState, cand: BirthCandidates,
+                    z, z_mask, z_used, n_in_fov):
+        """Unused measurements -> landmark-candidate pipeline
+        (FastSLAM.hpp:633-703; same machinery as the RB-PHD birth)."""
+        cfg = self.cfg
+        P, Zc = z_used.shape
+        unused = z_mask[None, :] & ~z_used
+        new_lm_w = jnp.log(cfg.existence_prior) - jnp.log1p(-cfg.existence_prior)
+        inv_mean, inv_cov = self.meas.inverse(pose[:, None, :], z[None, :, :])
+        few = n_in_fov <= cfg.cand_current_meas_count_threshold
+
+        if cfg.cand_count_threshold == 1:
+            w_new = jnp.where(unused, new_lm_w, 0.0)
+            gm = gm_ops.append(gm, inv_mean, inv_cov, w_new, unused)
+            return gm, cand
+
+        # match unused z to candidates
+        pred = self.meas.measure(pose[:, None, :], cand.mean, cand.cov)
+        innov, _ = self.gates.innovation(
+            pred.z[:, :, None, :], z[None, None, :, :])
+        md2 = gaussian.quad_form(gaussian.inv(pred.S)[:, :, None], innov)
+        match = (cand.alive[:, :, None] & unused[:, None, :]
+                 & (md2 <= cfg.cand_support_dist**2))
+        c_ids = jnp.arange(cand.capacity)
+        first_c = jnp.min(
+            jnp.where(match, c_ids[None, :, None], cand.capacity), axis=1)
+        z_matched = first_c < cand.capacity
+        claim = match & (c_ids[None, :, None] == first_c[:, None, :])
+        n_match = jnp.sum(claim, axis=2)
+        best_z = jnp.argmin(jnp.where(claim, md2, jnp.inf), axis=2)
+        z_best = jnp.take(z, best_z, axis=0)
+        m_upd, c_upd, _, _, _ = correct_single(
+            self.meas, self.gates, pose[:, None, :], cand.mean, cand.cov, z_best
+        )
+        has_match = n_match > 0
+        cand = cand.replace(
+            mean=jnp.where(has_match[..., None], m_upd, cand.mean),
+            cov=jnp.where(has_match[..., None, None], c_upd, cand.cov),
+            n_support=cand.n_support + n_match,
+        )
+
+        is_new = unused & ~z_matched
+        immediate = is_new & few[:, None]
+        to_insert = is_new & ~immediate
+        gm = gm_ops.append(
+            gm, inv_mean, inv_cov, jnp.where(immediate, new_lm_w, 0.0), immediate
+        )
+
+        # insert new candidates into free slots
+        free_order = jnp.argsort(cand.alive, axis=1)
+        src_order = jnp.argsort(~to_insert, axis=1)
+        K = min(cand.capacity, Zc)
+        dest = free_order[:, :K]
+        src = src_order[:, :K]
+        n_free = jnp.sum(~cand.alive, axis=1, keepdims=True)
+        n_new = jnp.sum(to_insert, axis=1, keepdims=True)
+        ok = jnp.arange(K)[None, :] < jnp.minimum(n_free, n_new)
+        rows = jnp.arange(P)[:, None]
+
+        def scat(dst_arr, src_arr, extra):
+            src_v = jnp.take_along_axis(
+                src_arr, src.reshape(src.shape + (1,) * extra), axis=1)
+            old = jnp.take_along_axis(
+                dst_arr, dest.reshape(dest.shape + (1,) * extra), axis=1)
+            return dst_arr.at[rows, dest].set(
+                jnp.where(ok.reshape(ok.shape + (1,) * extra), src_v, old))
+
+        cand = cand.replace(
+            mean=scat(cand.mean, inv_mean, 1),
+            cov=scat(cand.cov, inv_cov, 2),
+            n_support=scat(cand.n_support, jnp.ones((P, Zc), jnp.int32), 0),
+            n_checks=scat(cand.n_checks, jnp.zeros((P, Zc), jnp.int32), 0),
+            alive=cand.alive.at[rows, dest].set(
+                jnp.where(ok, True, jnp.take_along_axis(cand.alive, dest, axis=1))),
+        )
+
+        # promotion / expiry; promoted weight = logit(prior) * nChecks
+        checks = cand.n_checks + 1
+        enough = cand.n_support >= cfg.cand_count_threshold
+        trigger = cand.alive & (
+            enough | (checks > cfg.cand_check_threshold) | few[:, None])
+        promote = trigger & (enough | few[:, None])
+        gm = gm_ops.append(
+            gm, cand.mean, cand.cov,
+            jnp.where(promote, new_lm_w * checks, 0.0), promote,
+        )
+        cand = cand.replace(n_checks=checks, alive=cand.alive & ~trigger)
+        return gm, cand
+
+    def _update_body(self, state: FastSLAMState, z, z_mask):
+        cfg = self.cfg
+        pose = state.particles.pose
+        gm = state.gm
+        P = cfg.n_particles
+        Zc = z.shape[0]
+        nZ = jnp.sum(z_mask)
+
+        table, lm_idx, row_valid, pd_rank, close_rank = self._da_table(
+            pose, gm, z, z_mask)
+
+        H = cfg.max_hypotheses
+        if H == 1:
+            da, _ = jax.vmap(hungarian)(table)
+            gm, z_used, log_w, n_in_fov = self._apply_hypothesis(
+                pose, gm, z, z_mask, da, table, lm_idx, row_valid, pd_rank,
+                state.particles.log_w)
+            cand = state.cand
+        else:
+            # MH: k-best hypotheses, weight split (FastSLAM.hpp:547-563);
+            # hypotheses outside maxDataAssocLogLikelihoodDiff of the best
+            # collapse to the best hypothesis (weight re-merges at resample)
+            das, scores, valid = jax.vmap(lambda t: murty(t, H))(table)
+            keep = valid & (scores[:, :1] - scores <= cfg.max_da_loglik_diff)
+            das = jnp.where(keep[:, :, None], das, das[:, :1, :])
+            n_h = jnp.sum(keep, axis=1)
+            split_log_w = state.particles.log_w - jnp.log(n_h)
+
+            def one_hyp(h):
+                return self._apply_hypothesis(
+                    pose, gm, z, z_mask, das[:, h, :], table, lm_idx,
+                    row_valid, pd_rank, split_log_w)
+
+            outs = [one_hyp(h) for h in range(H)]
+            gm = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *[o[0] for o in outs])
+            z_used = jnp.concatenate([o[1] for o in outs], axis=0)
+            log_w = jnp.concatenate([o[2] for o in outs], axis=0)
+            n_in_fov = jnp.concatenate([o[3] for o in outs], axis=0)
+            pose = jnp.tile(pose, (H, 1))
+            cand = jax.tree_util.tree_map(
+                lambda a: jnp.tile(a, (H,) + (1,) * (a.ndim - 1)), state.cand)
+            # duplicated hypotheses (keep=False) carry -inf weight
+            dup = ~keep.T.reshape(-1)
+            log_w = jnp.where(dup, -jnp.inf, log_w)
+
+        # map management: prune by existence log-odds (FastSLAM.hpp:628-631)
+        do_prune = nZ >= cfg.prune_z_threshold
+        pruned_alive = gm.alive & (gm.w >= cfg.prune_threshold)
+        gm = gm.replace(alive=jnp.where(do_prune, pruned_alive, gm.alive))
+
+        gm, cand = self._candidates(pose, gm, cand, z, z_mask, z_used, n_in_fov)
+
+        # resampling back to n_particles (FastSLAM.hpp:728-757)
+        key, k_rs = jax.random.split(state.particles.key)
+        allow = (
+            (state.n_updates + 1 >= cfg.min_updates_before_resample)
+            & (state.n_meas + nZ >= cfg.min_measurements_before_resample)
+        )
+        if H == 1:
+            anc, new_log_w, did = resample_ops.maybe_resample(
+                k_rs, log_w, cfg.ess_threshold, allow=allow)
+        else:
+            anc_full = resample_ops.systematic_ancestors(k_rs, log_w, P)
+            anc, new_log_w, did = anc_full, jnp.full((P,), -jnp.log(P)), jnp.asarray(True)
+        gathered = resample_ops.gather_particles(
+            {"pose": pose, "gm": gm, "cand": cand, "fov": n_in_fov}, anc)
+
+        particles = state.particles.replace(
+            pose=gathered["pose"], log_w=new_log_w, parent=anc, key=key)
+        return FastSLAMState(
+            particles=particles, gm=gathered["gm"], cand=gathered["cand"],
+            n_in_fov=gathered["fov"],
+            n_updates=jnp.where(did, 0, state.n_updates + 1),
+            n_meas=jnp.where(did, 0, state.n_meas + nZ),
+        )

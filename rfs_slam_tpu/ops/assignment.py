@@ -1,0 +1,228 @@
+"""Linear-assignment solvers as batched fixed-shape JAX programs.
+
+Covers the reference's L4 combinatorics inventory (SURVEY.md section 2.5):
+
+* :func:`hungarian`   — O(n^3) Jonker-Volgenant-style shortest-augmenting-path
+  algorithm with potentials (replaces HungarianMethod.hpp:56-594); exact, no
+  epsilon approximation, vmappable over a batch of cost matrices;
+* :func:`murty`       — k-best assignments by Murty partitioning over a fixed
+  subproblem pool (replaces MurtyAlgorithm.cpp:141-338);
+* :func:`brute_force_assignments` — NumPy enumeration oracle
+  (BruteForceAssignment.hpp:45-88), test-only;
+* :func:`matrix_permanent` — Ryser-formula permanent
+  (MatrixPermanent.hpp:39-68);
+* lexicographic enumeration equivalents live in the RFS likelihood DP
+  (ops/rfs_likelihood.py), which sums ALL assignments exactly.
+
+Conventions: square cost matrix, MAXIMIZATION of the sum (the reference's DA
+uses log-likelihood max; for min problems negate).  Invalid/disallowed
+entries should be a large negative number (not -inf: keep arithmetic finite).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -1e9  # "disallowed" sentinel, finite to keep potentials well-defined
+
+
+def hungarian(cost: jax.Array):
+    """Exact max-sum perfect assignment on an [n, n] cost matrix.
+
+    Returns ``(row_to_col [n] int32, total float)``.  Batched via vmap.
+    Shortest-augmenting-path formulation with dual potentials; all loops are
+    fixed-bound ``fori``/``while_loop`` so the program is one compiled kernel.
+    """
+    n = cost.shape[-1]
+    a = -cost  # minimize
+    INF = jnp.asarray(jnp.finfo(a.dtype).max / 8, a.dtype)
+
+    # 1-indexed columns with virtual column 0
+    u = jnp.zeros((n + 1,), a.dtype)
+    v = jnp.zeros((n + 1,), a.dtype)
+    p = jnp.zeros((n + 1,), jnp.int32)        # p[j] = row assigned to col j
+
+    def assign_row(i, carry):
+        u, v, p = carry
+        minv = jnp.full((n + 1,), INF, a.dtype)
+        used = jnp.zeros((n + 1,), bool)
+        way = jnp.zeros((n + 1,), jnp.int32)
+
+        def cond(st):
+            _, _, _, _, j0, _, _ = st
+            return p[j0] != 0
+
+        def cond2(st):
+            minv, used, way, u_v, j0, p_, it = st
+            return (p_[j0] != 0) & (it <= n + 1)
+
+        def body(st):
+            minv, used, way, (u, v), j0, p_, it = st
+            used = used.at[j0].set(True)
+            i0 = p_[j0]
+            cols = jnp.arange(n + 1)
+            cur = a[i0 - 1, :] - u[i0] - v[1:]       # [n] for cols 1..n
+            cur = jnp.concatenate([jnp.full((1,), INF, a.dtype), cur])
+            better = (~used) & (cur < minv)
+            minv = jnp.where(better, cur, minv)
+            way = jnp.where(better, j0, way)
+            delta_candidates = jnp.where(used, INF, minv)
+            j1 = jnp.argmin(delta_candidates).astype(jnp.int32)
+            delta = delta_candidates[j1]
+            u = u.at[p_].add(jnp.where(used, delta, 0.0))
+            v = jnp.where(used, v - delta, v)
+            minv = jnp.where(used, minv, minv - delta)
+            return minv, used, way, (u, v), j1, p_, it + 1
+
+        p = p.at[0].set(jnp.int32(i + 1))
+        st = (minv, used, way, (u, v), jnp.int32(0), p, jnp.int32(0))
+        minv, used, way, (u, v), j0, p, _ = jax.lax.while_loop(cond2, body, st)
+
+        # augment along parent links
+        def aug_cond(st):
+            j0, _ = st
+            return j0 != 0
+
+        def aug_body(st):
+            j0, p_ = st
+            j1 = way[j0]
+            p_ = p_.at[j0].set(p_[j1])
+            return j1, p_
+
+        _, p = jax.lax.while_loop(aug_cond, aug_body, (j0, p))
+        p = p.at[0].set(0)
+        return u, v, p
+
+    u, v, p = jax.lax.fori_loop(0, n, assign_row, (u, v, p))
+    # p[j] = row for col j (1-indexed); invert
+    row_to_col = jnp.zeros((n,), jnp.int32)
+    row_to_col = row_to_col.at[p[1:] - 1].set(jnp.arange(n, dtype=jnp.int32))
+    total = jnp.sum(cost[jnp.arange(n), row_to_col])
+    return row_to_col, total
+
+
+hungarian_batched = jax.vmap(hungarian)
+
+
+def murty(cost: jax.Array, k: int):
+    """k-best max-sum assignments by Murty partitioning.
+
+    Returns ``(assignments [k, n] int32, scores [k], valid [k] bool)`` in
+    descending score order.  Reference: MurtyAlgorithm.cpp:141-338 (priority
+    queue of subproblems, each solved by Hungarian).  Pool is fixed at
+    ``k * n + 1`` subproblems; assignments forced below ``NEG/2`` total are
+    marked invalid (the reference stops at rank -1).
+    """
+    n = cost.shape[-1]
+    pool = k * n + 1
+
+    # subproblem: forced[r] = col forced for row r (-1 free); banned[r, c]
+    forced0 = jnp.full((pool, n), -1, jnp.int32)
+    banned0 = jnp.zeros((pool, n, n), bool)
+    sol0 = jnp.zeros((pool, n), jnp.int32)
+    score0 = jnp.full((pool,), -jnp.inf, cost.dtype)
+    active0 = jnp.zeros((pool,), bool)
+
+    def solve(forced, banned):
+        c = jnp.where(banned, NEG, cost)
+        is_forced = forced >= 0
+        forced_mask = jax.nn.one_hot(
+            jnp.where(is_forced, forced, 0), n, dtype=bool
+        ) & is_forced[:, None]
+        c = jnp.where(
+            is_forced[:, None] & ~forced_mask, NEG, c
+        )
+        sol, total = hungarian(c)
+        return sol, total
+
+    sol, total = solve(forced0[0], banned0[0])
+    sol0 = sol0.at[0].set(sol)
+    score0 = score0.at[0].set(total)
+    active0 = active0.at[0].set(True)
+
+    out_sols = jnp.zeros((k, n), jnp.int32)
+    out_scores = jnp.full((k,), -jnp.inf, cost.dtype)
+    out_valid = jnp.zeros((k,), bool)
+
+    def iteration(t, carry):
+        forced, banned, sols, scores, active, out_sols, out_scores, out_valid, n_used = carry
+        best = jnp.argmax(jnp.where(active, scores, -jnp.inf)).astype(jnp.int32)
+        best_score = scores[best]
+        best_sol = sols[best]
+        ok = active[best] & (best_score > NEG / 2)
+        out_sols = out_sols.at[t].set(jnp.where(ok, best_sol, 0))
+        out_scores = out_scores.at[t].set(jnp.where(ok, best_score, -jnp.inf))
+        out_valid = out_valid.at[t].set(ok)
+        active = active.at[best].set(False)
+
+        # expand: child r = parent constraints + rows<r forced to best_sol,
+        # row r banned from best_sol[r]
+        def add_child(r, carry):
+            forced, banned, sols, scores, active, n_used = carry
+            slot = n_used
+            f = forced[best]
+            rows = jnp.arange(n)
+            f = jnp.where((rows < r) & (f < 0), best_sol, f)
+            b = banned[best].at[r, best_sol[r]].set(True)
+            child_valid = ok & (forced[best][r] < 0) & (slot < pool)
+            slot_c = jnp.minimum(slot, pool - 1)
+            s, tot = solve(f, b)
+            forced = forced.at[slot_c].set(
+                jnp.where(child_valid, f, forced[slot_c]))
+            banned = banned.at[slot_c].set(
+                jnp.where(child_valid, b, banned[slot_c]))
+            sols = sols.at[slot_c].set(jnp.where(child_valid, s, sols[slot_c]))
+            scores = scores.at[slot_c].set(
+                jnp.where(child_valid, tot, scores[slot_c]))
+            active = active.at[slot_c].set(
+                jnp.where(child_valid, True, active[slot_c]))
+            return forced, banned, sols, scores, active, n_used + jnp.where(child_valid, 1, 0)
+
+        forced, banned, sols, scores, active, n_used = jax.lax.fori_loop(
+            0, n, add_child, (forced, banned, sols, scores, active, n_used)
+        )
+        return (forced, banned, sols, scores, active,
+                out_sols, out_scores, out_valid, n_used)
+
+    carry = (forced0, banned0, sol0, score0, active0,
+             out_sols, out_scores, out_valid, jnp.int32(1))
+    carry = jax.lax.fori_loop(0, k, iteration, carry)
+    _, _, _, _, _, out_sols, out_scores, out_valid, _ = carry
+    return out_sols, out_scores, out_valid
+
+
+def brute_force_assignments(cost: np.ndarray, k: int | None = None):
+    """All assignments sorted by score desc (NumPy test oracle).
+
+    Reference: BruteForceAssignment.hpp:40-88.
+    """
+    n = cost.shape[0]
+    results = []
+    for perm in itertools.permutations(range(n)):
+        score = sum(cost[i, perm[i]] for i in range(n))
+        results.append((score, list(perm)))
+    results.sort(key=lambda t: -t[0])
+    if k is not None:
+        results = results[:k]
+    scores = np.array([r[0] for r in results])
+    perms = np.array([r[1] for r in results])
+    return perms, scores
+
+
+def matrix_permanent(a: jax.Array) -> jax.Array:
+    """Permanent of an [n, n] matrix via the Ryser formula.
+
+    Reference: MatrixPermanent.hpp:39-68 (Nijenhuis-Wilf).  O(2^n * n); fine
+    for the reference's tested range n <= 12.
+    """
+    n = a.shape[-1]
+    subsets = jnp.arange(1, 1 << n)
+    bits = ((subsets[:, None] >> jnp.arange(n)[None, :]) & 1).astype(a.dtype)
+    row_sums = bits @ a.T                       # [2^n - 1, n]
+    prods = jnp.prod(row_sums, axis=-1)
+    signs = jnp.where((n - jnp.sum(bits, axis=-1)) % 2 == 0, 1.0, -1.0)
+    return jnp.sum(signs * prods)

@@ -1,0 +1,94 @@
+"""Integration tests: FastSLAM 1.0 and MH-FastSLAM on the short 2-D sim."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rfs_slam_tpu.filters.fastslam import FastSLAMConfig, FastSLAMFilter
+from rfs_slam_tpu.io import sim2d
+from rfs_slam_tpu.models.motion import Odometry2D, StaticLandmark
+from rfs_slam_tpu.models.measurement import RangeBearing
+from rfs_slam_tpu.ops.ekf import InnovationGates
+
+
+def build_filter(sim_cfg, n_particles=24, max_hypotheses=1):
+    dt = sim_cfg.dt
+    motion = Odometry2D(
+        Q=jnp.diag(jnp.asarray([sim_cfg.vardx, sim_cfg.vardy, sim_cfg.vardz]))
+        * (1.5 * dt * dt))
+    lmk = StaticLandmark(
+        Q=jnp.diag(jnp.asarray([sim_cfg.varlmx, sim_cfg.varlmy])) * dt * dt)
+    meas = RangeBearing(
+        R=jnp.diag(jnp.asarray([sim_cfg.varzr, sim_cfg.varzb])) * 10.0,
+        pd_const=sim_cfg.pd, clutter=sim_cfg.clutter,
+        r_max=sim_cfg.range_max, r_min=sim_cfg.range_min,
+        r_buf=sim_cfg.range_buffer)
+    gates = InnovationGates.range_bearing(range_t=1.0, bearing_t=0.2)
+    cfg = FastSLAMConfig(
+        n_particles=n_particles, map_capacity=64, z_capacity=24,
+        nmz_capacity=28, candidate_capacity=8,
+        max_hypotheses=max_hypotheses,
+        min_log_likelihood=-10.0, existence_prior=0.5,
+        prune_threshold=-5.0, min_updates_before_resample=2,
+        ess_threshold=n_particles / 2.0)
+    return FastSLAMFilter(motion, lmk, meas, gates, cfg)
+
+
+@pytest.fixture(scope="module")
+def short_sim():
+    cfg = sim2d.Sim2DConfig(timesteps=260, n_landmarks=20, n_segments=4)
+    return cfg, sim2d.generate(cfg, traj_seed=3, noise_seed=4, z_capacity=24)
+
+
+def run_filter(filt, sim_cfg, data):
+    state = filt.init_state(jax.random.PRNGKey(0), jnp.zeros(3))
+
+    @jax.jit
+    def step(state, inp):
+        odo, z, z_mask, gt, lock = inp
+        state = filt.predict(state, odo, sim_cfg.dt)
+        pose = jnp.where(lock, jnp.broadcast_to(gt, state.particles.pose.shape),
+                         state.particles.pose)
+        state = state.replace(particles=state.particles.replace(pose=pose))
+        state = filt.update(state, z, z_mask)
+        best = jnp.argmax(state.particles.log_w)
+        return state, (state.particles.pose[best], state.gm.count()[best])
+
+    T = sim_cfg.timesteps
+    inputs = (
+        jnp.asarray(data.odometry[1:], jnp.float32),
+        jnp.asarray(data.z[1:], jnp.float32),
+        jnp.asarray(data.z_mask[1:]),
+        jnp.asarray(data.gt_pose[1:], jnp.float32),
+        jnp.arange(1, T) <= 100,
+    )
+    return jax.lax.scan(step, state, inputs)
+
+
+def test_fastslam_short_run(short_sim):
+    sim_cfg, data = short_sim
+    filt = build_filter(sim_cfg)
+    state, (best_poses, gm_sizes) = run_filter(filt, sim_cfg, data)
+    best_poses = np.asarray(best_poses)
+    assert np.isfinite(best_poses).all()
+    err = np.linalg.norm(best_poses[:, :2] - data.gt_pose[1:, :2], axis=1)
+    assert err[99] < 1e-4
+    assert np.median(err[150:]) < 0.6, f"median pose error {np.median(err[150:])}"
+    # map tracks roughly the observable landmark count
+    assert int(gm_sizes[-1]) > 3
+    # log-odds weights finite
+    w = np.asarray(state.gm.w)
+    assert np.isfinite(w[np.asarray(state.gm.alive)]).all()
+
+
+def test_mh_fastslam_runs(short_sim):
+    sim_cfg, data = short_sim
+    filt = build_filter(sim_cfg, n_particles=8, max_hypotheses=3)
+    state, (best_poses, gm_sizes) = run_filter(filt, sim_cfg, data)
+    best_poses = np.asarray(best_poses)
+    assert np.isfinite(best_poses).all()
+    err = np.linalg.norm(best_poses[:, :2] - data.gt_pose[1:, :2], axis=1)
+    assert np.median(err[150:]) < 1.0
+    # particle count stays fixed at n_particles after every update
+    assert state.particles.pose.shape[0] == 8
