@@ -129,11 +129,26 @@ def _merge_pass(gm: GMState, t2, f_inflation):
     )
 
 
-def merge(gm: GMState, threshold, f_inflation, max_passes: int = 8) -> GMState:
+def merge(gm: GMState, threshold, f_inflation, max_passes: int = 8,
+          impl: str | None = None) -> GMState:
     """Merge until fixed point (bounded passes).
 
     Reference: GaussianMixture.hpp:394-416 (O(M^2) greedy in-order scan).
+    ``impl``: "pallas" | "xla" | None (auto: the Pallas kernel on TPU for 2-D
+    mixtures with lane-aligned capacity).
     """
+    if impl is None:
+        use_pallas = (
+            gm.dim == 2 and gm.capacity % 128 == 0
+            and jax.default_backend() == "tpu"
+        )
+    else:
+        use_pallas = impl == "pallas"
+    if use_pallas:
+        from rfs_slam_tpu.ops.pallas.merge2d import merge2d
+
+        return merge2d(gm, threshold, f_inflation, max_passes=max_passes)
+
     t2 = threshold * threshold
 
     def cond(carry):

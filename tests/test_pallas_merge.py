@@ -1,0 +1,51 @@
+"""Pallas merge kernel vs the pure-JAX merge (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rfs_slam_tpu.core.state import GMState
+from rfs_slam_tpu.ops import gm as gm_ops
+from rfs_slam_tpu.ops.pallas.merge2d import merge2d
+
+
+def random_gm(rng, P=4, N=128, n_alive=20):
+    mean = rng.uniform(-3, 3, size=(P, N, 2)).astype(np.float32)
+    A = rng.normal(size=(P, N, 2, 2)).astype(np.float32) * 0.2
+    cov = A @ np.swapaxes(A, -1, -2) + 0.3 * np.eye(2, dtype=np.float32)
+    w = rng.uniform(0.1, 1.0, size=(P, N)).astype(np.float32)
+    alive = np.zeros((P, N), bool)
+    alive[:, :n_alive] = True
+    return GMState(jnp.asarray(mean), jnp.asarray(cov), jnp.asarray(w),
+                   jnp.asarray(w * 0.5), jnp.asarray(alive))
+
+
+def test_pallas_merge_matches_jax(rng):
+    gm = random_gm(rng)
+    ref = gm_ops.merge(gm, threshold=1.5, f_inflation=1.5)
+    out = merge2d(gm, 1.5, 1.5, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out.alive), np.asarray(ref.alive))
+    a = np.asarray(ref.alive)
+    np.testing.assert_allclose(np.asarray(out.w)[a], np.asarray(ref.w)[a],
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.mean)[a], np.asarray(ref.mean)[a],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.cov)[a], np.asarray(ref.cov)[a],
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.w_prev)[a],
+                               np.asarray(ref.w_prev)[a], rtol=1e-5)
+
+
+def test_pallas_merge_no_pairs(rng):
+    gm = random_gm(rng, n_alive=5)
+    # spread the means far apart: nothing merges
+    gm = gm.replace(mean=gm.mean * 100.0)
+    out = merge2d(gm, 0.5, 1.5, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out.alive), np.asarray(gm.alive))
+    np.testing.assert_allclose(np.asarray(out.w), np.asarray(gm.w))
+
+
+def test_pallas_merge_nonmultiple_block(rng):
+    gm = random_gm(rng, P=5, N=128)  # P not a multiple of block
+    ref = gm_ops.merge(gm, 1.5, 1.5)
+    out = merge2d(gm, 1.5, 1.5, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out.alive), np.asarray(ref.alive))
