@@ -138,9 +138,11 @@ def merge(gm: GMState, threshold, f_inflation, max_passes: int = 8,
     mixtures with lane-aligned capacity).
     """
     if impl is None:
+        default_dev = jax.config.jax_default_device
+        platform = (default_dev.platform if default_dev is not None
+                    else jax.default_backend())
         use_pallas = (
-            gm.dim == 2 and gm.capacity % 128 == 0
-            and jax.default_backend() == "tpu"
+            gm.dim == 2 and gm.capacity % 128 == 0 and platform == "tpu"
         )
     else:
         use_pallas = impl == "pallas"
