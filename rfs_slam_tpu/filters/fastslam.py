@@ -135,7 +135,7 @@ class FastSLAMFilter:
         cfg = self.cfg
         P, M = gm.w.shape
         NMZ = cfg.nmz_capacity
-        pd, close = self.meas.pd(pose[:, None, :], gm.mean)
+        pd, close = self.meas.pd(pose[:, None, :], gm.mean, gm.cov)
         in_range = gm.alive & ((pd > 0.0) | close)          # FastSLAM.hpp:456-465
         # rank-compact in-range landmarks to leading rows (stable by index)
         order = jnp.argsort(~in_range, axis=1, stable=True)  # [P, M]

@@ -121,14 +121,22 @@ class RBPHDFilter:
     # --------------------------------------------------------------- predict
     def predict(self, state: RBPHDState, u, dt,
                 use_model_noise: bool = True, use_input_noise: bool = False,
-                input_cov=None, birth_check: bool = True) -> RBPHDState:
-        """Reference: RBPHDFilter::predict (RBPHDFilter.hpp:416-442)."""
+                input_cov=None, birth_check: bool = True,
+                meas=None, lmk=None) -> RBPHDState:
+        """Reference: RBPHDFilter::predict (RBPHDFilter.hpp:416-442).
+
+        ``meas``/``lmk`` override the wired models for this call (used by the
+        Victoria Park app, whose measurement model carries per-scan state and
+        whose landmark noise is per-dt — rbphdslam_VictoriaPark.cpp:508-517).
+        """
         cfg = self.cfg
+        meas = meas if meas is not None else self.meas
+        lmk = lmk if lmk is not None else self.lmk
         key, k_prop, k_birth = jax.random.split(state.particles.key, 3)
 
         gm, birth = state.gm, state.birth
         if birth_check:
-            gm, birth = self._add_birth_gaussians(state, k_birth)
+            gm, birth = self._add_birth_gaussians(state, k_birth, meas)
 
         # particle propagation (ParticleFilter::propagate via
         # ProcessModel::sample — ProcessModel.hpp:125-150)
@@ -140,7 +148,7 @@ class RBPHDFilter:
         )(prop_keys, state.particles.pose)
 
         # landmark static step: cov += Q_lm (RBPHDFilter.hpp:433-439)
-        _, cov = self.lmk.static_step(gm.mean, gm.cov, dt)
+        _, cov = lmk.static_step(gm.mean, gm.cov, dt)
         gm = gm.replace(cov=jnp.where(gm.alive[..., None, None], cov, gm.cov))
 
         return state.replace(
@@ -148,7 +156,8 @@ class RBPHDFilter:
             gm=gm, birth=birth,
         )
 
-    def _add_birth_gaussians(self, state: RBPHDState, key: jax.Array):
+    def _add_birth_gaussians(self, state: RBPHDState, key: jax.Array,
+                             meas=None):
         """Reference: RBPHDFilter::addBirthGaussians (RBPHDFilter.hpp:1000-1084).
 
         Candidate matching/promotion as a masked state machine; with
@@ -157,6 +166,7 @@ class RBPHDFilter:
         reference exactly.
         """
         cfg = self.cfg
+        meas = meas if meas is not None else self.meas
         pose = state.particles.pose                       # [P, 3]
         z = state.last_z                                  # [Zc, DZ]
         unused = state.last_unused                        # [P, Zc]
@@ -164,7 +174,7 @@ class RBPHDFilter:
         P, Zc = unused.shape
 
         # landmark estimate for every unused measurement via the inverse model
-        inv_mean, inv_cov = self.meas.inverse(pose[:, None, :], z[None, :, :])
+        inv_mean, inv_cov = meas.inverse(pose[:, None, :], z[None, :, :])
 
         few_in_fov = state.n_in_fov <= cfg.birth_current_meas_count_threshold
 
@@ -176,7 +186,7 @@ class RBPHDFilter:
             return gm, birth
 
         # ---- candidate matching
-        pred = self.meas.measure(pose[:, None, :], birth.mean, birth.cov)
+        pred = meas.measure(pose[:, None, :], birth.mean, birth.cov)
         innov, _ = self.gates.innovation(
             pred.z[:, :, None, :], z[None, None, :, :]
         )                                                  # [P, C, Zc, DZ]
@@ -199,7 +209,7 @@ class RBPHDFilter:
         best_z = jnp.argmin(jnp.where(claim, md2, jnp.inf), axis=2)
         z_best = jnp.take(z, best_z, axis=0)               # [P, C, DZ]
         m_upd, c_upd, _, _, _ = correct_single(
-            self.meas, self.gates, pose[:, None, :], birth.mean, birth.cov, z_best
+            meas, self.gates, pose[:, None, :], birth.mean, birth.cov, z_best
         )
         has_match = n_match > 0
         birth = birth.replace(
@@ -268,13 +278,13 @@ class RBPHDFilter:
         return gm, birth
 
     # ---------------------------------------------------------------- update
-    def update(self, state: RBPHDState, z, z_mask) -> RBPHDState:
+    def update(self, state: RBPHDState, z, z_mask, meas=None) -> RBPHDState:
         """Reference: RBPHDFilter::update (RBPHDFilter.hpp:444-541).
 
         ``z``: [Zc, DZ] padded measurement set, ``z_mask``: [Zc] validity.
         """
         has_z = jnp.any(z_mask)
-        new_state = self._update_body(state, z, z_mask)
+        new_state = self._update_body(state, z, z_mask, meas)
         # empty measurement set: only the update counter advances
         # (RBPHDFilter.hpp:448-452; note the reference leaves its stale unused-
         # measurement lists pointing into the now-empty measurement vector — we
@@ -286,8 +296,9 @@ class RBPHDFilter:
         )
         return out
 
-    def _update_body(self, state: RBPHDState, z, z_mask) -> RBPHDState:
+    def _update_body(self, state: RBPHDState, z, z_mask, meas=None) -> RBPHDState:
         cfg = self.cfg
+        meas = meas if meas is not None else self.meas
         gm = state.gm
         pose = state.particles.pose
         P, M = gm.w.shape
@@ -295,14 +306,14 @@ class RBPHDFilter:
         nZ = jnp.sum(z_mask)
 
         # ---------- probability of detection (RBPHDFilter.hpp:597-609)
-        pd_raw, close = self.meas.pd(pose[:, None, :], gm.mean)
+        pd_raw, close = meas.pd(pose[:, None, :], gm.mean, gm.cov)
         pd_raw = jnp.where(gm.alive, pd_raw, 0.0)
         close = close & gm.alive
         pd = jnp.where(close, 1.0, pd_raw)   # close-to-limit forces Pd = 1
         n_in_fov = jnp.sum((pd != 0.0) & gm.alive, axis=1).astype(jnp.int32)
 
         # ---------- batched EKF correction (KalmanFilter.hpp:261-342)
-        corr = correct_all(self.meas, self.gates, pose, gm.mean, gm.cov, z)
+        corr = correct_all(meas, self.gates, pose, gm.mean, gm.cov, z)
 
         # ---------- nM x nZ weight table (RBPHDFilter.hpp:620-659)
         md_gate = corr.md2 <= cfg.new_gaussian_md_threshold**2
@@ -314,7 +325,7 @@ class RBPHDFilter:
             cell, pd[:, :, None] * gm.w[:, :, None] * corr.likelihood, 0.0
         )
         clutter_z = jnp.broadcast_to(
-            self.meas.clutter_intensity(z, nZ), (Zc,)
+            meas.clutter_intensity(z, nZ), (Zc,)
         )
         col_sum = clutter_z[None, :] + jnp.sum(w_tab, axis=1)     # [P, Zc]
         w_tab = jnp.where(z_mask[None, None, :], w_tab / col_sum[:, None, :], 0.0)
@@ -359,7 +370,7 @@ class RBPHDFilter:
         # ---------- importance weighting (RBPHDFilter.hpp:728-997)
         if not cfg.use_cluster_process:
             log_w = self._importance_weights(
-                log_w, pose, gm_full, z, z_mask, clutter_z, nZ
+                log_w, pose, gm_full, z, z_mask, clutter_z, nZ, meas
             )
 
         # ---------- merge + prune (RBPHDFilter.hpp:501-516)
@@ -398,14 +409,15 @@ class RBPHDFilter:
         )
 
     def _importance_weights(self, log_w, pose, gm: GMState, z, z_mask,
-                            clutter_z, nZ):
+                            clutter_z, nZ, meas=None):
         """Reference: RBPHDFilter::importanceWeighting (RBPHDFilter.hpp:728-819)."""
         cfg = self.cfg
+        meas = meas if meas is not None else self.meas
         P, M = gm.w.shape
         E = cfg.eval_capacity
 
         # eval-point selection: top-E by weight among w >= minWeight, Pd > 0
-        pd_eval, _ = self.meas.pd(pose[:, None, :], gm.mean)
+        pd_eval, _ = meas.pd(pose[:, None, :], gm.mean, gm.cov)
         elig = gm.alive & (gm.w >= cfg.eval_pt_min_weight) & (pd_eval > 0.0)
         score = jnp.where(elig, gm.w, -jnp.inf)
         _, eval_idx = jax.lax.top_k(score, E)              # [P, E]
@@ -436,7 +448,7 @@ class RBPHDFilter:
 
         # RFS measurement likelihood at eval points: expected measurement with
         # ZERO landmark covariance (S = R), gated (hpp:847-863)
-        predE = self.meas.measure(pose[:, None, :], eval_mean)
+        predE = meas.measure(pose[:, None, :], eval_mean)
         innov, _ = self.gates.innovation(
             predE.z[:, :, None, :], z[None, None, :, :]
         )
@@ -448,7 +460,7 @@ class RBPHDFilter:
         L = jnp.where(md2 <= cfg.weighting_md_threshold**2, L, 0.0)
         L = L * eval_pd[:, :, None]
 
-        log_ci = jnp.log(self.meas.clutter_intensity_integral(nZ))
+        log_ci = jnp.log(meas.clutter_intensity_integral(nZ))
         log_rfs = rfs_log_likelihood(
             L, eval_pd, eval_valid, clutter_z[None, :], z_mask, log_ci,
             z_dp_max=cfg.z_dp_max,

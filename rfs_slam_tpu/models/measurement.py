@@ -105,7 +105,7 @@ class RangeBearing(struct.PyTreeNode):
         cov = Hinv @ self.R @ jnp.swapaxes(Hinv, -1, -2)
         return mean, cov
 
-    def pd(self, pose: jax.Array, lm_mean: jax.Array):
+    def pd(self, pose: jax.Array, lm_mean: jax.Array, lm_cov=None):
         dx = lm_mean[..., 0] - pose[..., 0]
         dy = lm_mean[..., 1] - pose[..., 1]
         r = jnp.sqrt(dx * dx + dy * dy)
@@ -181,7 +181,7 @@ class XY(struct.PyTreeNode):
         cov = Hinv @ self.R @ jnp.swapaxes(Hinv, -1, -2)
         return mean, cov
 
-    def pd(self, pose, lm_mean):
+    def pd(self, pose, lm_mean, lm_cov=None):
         dx = lm_mean[..., 0] - pose[..., 0]
         dy = lm_mean[..., 1] - pose[..., 1]
         r = jnp.sqrt(dx * dx + dy * dy)
@@ -228,7 +228,7 @@ class Range1D(struct.PyTreeNode):
         cov = jnp.broadcast_to(self.R, mean.shape + (1,))
         return mean, cov
 
-    def pd(self, pose, lm_mean):
+    def pd(self, pose, lm_mean, lm_cov=None):
         r = jnp.abs(lm_mean[..., 0] - pose[..., 0])
         inside = (r <= self.r_max) & (r >= self.r_min)
         pd = jnp.where(inside, self.pd_const, 0.0)

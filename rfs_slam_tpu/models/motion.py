@@ -22,6 +22,20 @@ from flax import struct
 from rfs_slam_tpu.core import gaussian
 
 
+def _maybe_sample_input(key, u, use_input_noise, input_cov):
+    """Sample input noise; ``use_input_noise`` may be a traced bool (the
+    Victoria Park event loop toggles it per message,
+    rbphdslam_VictoriaPark.cpp:512-517)."""
+    if input_cov is None or (isinstance(use_input_noise, bool)
+                             and not use_input_noise):
+        return u
+    d = u.shape[-1]
+    u_s = gaussian.sample(key, u, jnp.broadcast_to(input_cov, u.shape + (d,)))
+    if isinstance(use_input_noise, bool):
+        return u_s
+    return jnp.where(jnp.asarray(use_input_noise), u_s, u)
+
+
 class Odometry2D(struct.PyTreeNode):
     """SE(2) odometry model (reference: ProcessModel_Odometry2D.cpp:41-89).
 
@@ -61,8 +75,7 @@ class Odometry2D(struct.PyTreeNode):
         input_cov: jax.Array | None = None,
     ) -> jax.Array:
         k_in, k_add = jax.random.split(key)
-        if use_input_noise:
-            u = gaussian.sample(k_in, u, jnp.broadcast_to(input_cov, u.shape + u.shape[-1:]))
+        u = _maybe_sample_input(k_in, u, use_input_noise, input_cov)
         out = self.step(pose, u, dt)
         if use_model_noise:
             out = gaussian.sample(k_add, out, jnp.broadcast_to(self.Q, out.shape + (3,)))
@@ -81,8 +94,7 @@ class Odometry1D(struct.PyTreeNode):
     def sample(self, key, pose, u, dt, use_model_noise=True, use_input_noise=False,
                input_cov=None):
         k_in, k_add = jax.random.split(key)
-        if use_input_noise:
-            u = gaussian.sample(k_in, u, jnp.broadcast_to(input_cov, u.shape + (1,)))
+        u = _maybe_sample_input(k_in, u, use_input_noise, input_cov)
         out = self.step(pose, u, dt)
         if use_model_noise:
             out = gaussian.sample(k_add, out, jnp.broadcast_to(self.Q, out.shape + (1,)))
@@ -126,8 +138,7 @@ class Ackerman2D(struct.PyTreeNode):
     def sample(self, key, pose, u, dt, use_model_noise=True, use_input_noise=False,
                input_cov=None):
         k_in, k_add = jax.random.split(key)
-        if use_input_noise:
-            u = gaussian.sample(k_in, u, jnp.broadcast_to(input_cov, u.shape + (2,)))
+        u = _maybe_sample_input(k_in, u, use_input_noise, input_cov)
         out = self.step(pose, u, dt)
         if use_model_noise:
             out = gaussian.sample(k_add, out, jnp.broadcast_to(self.Q, out.shape + (3,)))
@@ -143,9 +154,14 @@ class StaticLandmark(struct.PyTreeNode):
 
     Attributes:
       Q: [D, D] covariance growth per step (zero => landmarks truly static).
+      per_dt2: scale Q by dt^2 at step time (Victoria Park wiring sets the
+        noise per message interval, rbphdslam_VictoriaPark.cpp:508-510); the
+        sim apps pre-scale Q instead.
     """
 
     Q: jax.Array
+    per_dt2: bool = struct.field(pytree_node=False, default=False)
 
     def static_step(self, mean: jax.Array, cov: jax.Array, dt):
-        return mean, cov + self.Q
+        q = self.Q * (dt * dt) if self.per_dt2 else self.Q
+        return mean, cov + q
