@@ -97,9 +97,11 @@ class FastSLAMFilter:
 
     # --------------------------------------------------------------- predict
     def predict(self, state: FastSLAMState, u, dt,
-                use_model_noise=True, use_input_noise=False, input_cov=None):
+                use_model_noise=True, use_input_noise=False, input_cov=None,
+                lmk=None):
         """FastSLAM::predict (FastSLAM.hpp:360-386): propagate + landmark step."""
         cfg = self.cfg
+        lmk = self.lmk if lmk is None else lmk
         key, k_prop = jax.random.split(state.particles.key)
         prop_keys = jax.random.split(k_prop, cfg.n_particles)
         pose = jax.vmap(
@@ -107,7 +109,7 @@ class FastSLAMFilter:
                 k, p, u, dt, use_model_noise, use_input_noise, input_cov
             )
         )(prop_keys, state.particles.pose)
-        _, cov = self.lmk.static_step(state.gm.mean, state.gm.cov, dt)
+        _, cov = lmk.static_step(state.gm.mean, state.gm.cov, dt)
         gm = state.gm.replace(
             cov=jnp.where(state.gm.alive[..., None, None], cov, state.gm.cov)
         )
@@ -116,9 +118,9 @@ class FastSLAMFilter:
         )
 
     # ---------------------------------------------------------------- update
-    def update(self, state: FastSLAMState, z, z_mask):
+    def update(self, state: FastSLAMState, z, z_mask, meas=None):
         has_z = jnp.any(z_mask)
-        new_state = self._update_body(state, z, z_mask)
+        new_state = self._update_body(state, z, z_mask, meas=meas)
         out = jax.tree_util.tree_map(
             lambda a, b: jnp.where(jnp.reshape(has_z, (1,) * a.ndim), b, a),
             state.replace(n_updates=state.n_updates + 1),
@@ -126,16 +128,17 @@ class FastSLAMFilter:
         )
         return out
 
-    def _da_table(self, pose, gm: GMState, z, z_mask):
+    def _da_table(self, pose, gm: GMState, z, z_mask, meas=None):
         """In-range compaction + padded log-likelihood table.
 
         Returns (table [P, NMZ, NMZ], lm_rank_idx [P, NMZ], row_valid,
         pd_rank, close_rank).
         """
         cfg = self.cfg
+        meas = self.meas if meas is None else meas
         P, M = gm.w.shape
         NMZ = cfg.nmz_capacity
-        pd, close = self.meas.pd(pose[:, None, :], gm.mean, gm.cov)
+        pd, close = meas.pd(pose[:, None, :], gm.mean, gm.cov)
         in_range = gm.alive & ((pd > 0.0) | close)          # FastSLAM.hpp:456-465
         # rank-compact in-range landmarks to leading rows (stable by index)
         order = jnp.argsort(~in_range, axis=1, stable=True)  # [P, M]
@@ -156,7 +159,7 @@ class FastSLAMFilter:
         pd_rank = jnp.take_along_axis(pd, lm_idx, axis=1)
         close_rank = jnp.take_along_axis(close, lm_idx, axis=1)
 
-        pred = self.meas.measure(pose[:, None, :], lm_mean, lm_cov)
+        pred = meas.measure(pose[:, None, :], lm_mean, lm_cov)
         innov, _ = self.gates.innovation(
             pred.z[:, :, None, :], z[None, None, :, :]
         )                                                   # [P, NMZ, Zc, DZ]
@@ -174,13 +177,14 @@ class FastSLAMFilter:
         return table, lm_idx, row_valid, pd_rank, close_rank
 
     def _apply_hypothesis(self, pose, gm: GMState, z, z_mask, da, table,
-                          lm_idx, row_valid, pd_rank, log_w):
+                          lm_idx, row_valid, pd_rank, log_w, meas=None):
         """EKF updates + existence log-odds + weight for one DA hypothesis.
 
         ``da``: [P, NMZ] column assigned to each landmark rank.
         Reference: FastSLAM.hpp:569-621 + weight at :710-717.
         """
         cfg = self.cfg
+        meas = self.meas if meas is None else meas
         P, M = gm.w.shape
         NMZ = cfg.nmz_capacity
         Zc = z.shape[0]
@@ -200,13 +204,13 @@ class FastSLAMFilter:
         lm_mean = gm.mean[rows, lm_idx]
         lm_cov = gm.cov[rows, lm_idx]
         m_upd, c_upd, _, _, kf_ok = correct_single(
-            self.meas, self.gates, pose[:, None, :], lm_mean, lm_cov, zsel
+            meas, self.gates, pose[:, None, :], lm_mean, lm_cov, zsel
         )
         updated = assoc_ok & kf_ok                          # isUpdatePerformed
 
         # existence probability update (FastSLAM.hpp:599-620)
         nZ = jnp.sum(z_mask)
-        n_clutter = self.meas.clutter_intensity_integral(nZ)
+        n_clutter = meas.clutter_intensity_integral(nZ)
         p_fa = n_clutter / jnp.maximum(nZ, 1)
         prior = cfg.existence_prior
         pd = pd_rank
@@ -236,14 +240,15 @@ class FastSLAMFilter:
         return gm, z_used, log_w, n_in_fov
 
     def _candidates(self, pose, gm: GMState, cand: BirthCandidates,
-                    z, z_mask, z_used, n_in_fov):
+                    z, z_mask, z_used, n_in_fov, meas=None):
         """Unused measurements -> landmark-candidate pipeline
         (FastSLAM.hpp:633-703; same machinery as the RB-PHD birth)."""
         cfg = self.cfg
+        meas = self.meas if meas is None else meas
         P, Zc = z_used.shape
         unused = z_mask[None, :] & ~z_used
         new_lm_w = jnp.log(cfg.existence_prior) - jnp.log1p(-cfg.existence_prior)
-        inv_mean, inv_cov = self.meas.inverse(pose[:, None, :], z[None, :, :])
+        inv_mean, inv_cov = meas.inverse(pose[:, None, :], z[None, :, :])
         few = n_in_fov <= cfg.cand_current_meas_count_threshold
 
         if cfg.cand_count_threshold == 1:
@@ -252,7 +257,7 @@ class FastSLAMFilter:
             return gm, cand
 
         # match unused z to candidates
-        pred = self.meas.measure(pose[:, None, :], cand.mean, cand.cov)
+        pred = meas.measure(pose[:, None, :], cand.mean, cand.cov)
         innov, _ = self.gates.innovation(
             pred.z[:, :, None, :], z[None, None, :, :])
         md2 = gaussian.quad_form(gaussian.inv(pred.S)[:, :, None], innov)
@@ -267,7 +272,7 @@ class FastSLAMFilter:
         best_z = jnp.argmin(jnp.where(claim, md2, jnp.inf), axis=2)
         z_best = jnp.take(z, best_z, axis=0)
         m_upd, c_upd, _, _, _ = correct_single(
-            self.meas, self.gates, pose[:, None, :], cand.mean, cand.cov, z_best
+            meas, self.gates, pose[:, None, :], cand.mean, cand.cov, z_best
         )
         has_match = n_match > 0
         cand = cand.replace(
@@ -324,7 +329,7 @@ class FastSLAMFilter:
         cand = cand.replace(n_checks=checks, alive=cand.alive & ~trigger)
         return gm, cand
 
-    def _update_body(self, state: FastSLAMState, z, z_mask):
+    def _update_body(self, state: FastSLAMState, z, z_mask, meas=None):
         cfg = self.cfg
         pose = state.particles.pose
         gm = state.gm
@@ -333,14 +338,14 @@ class FastSLAMFilter:
         nZ = jnp.sum(z_mask)
 
         table, lm_idx, row_valid, pd_rank, close_rank = self._da_table(
-            pose, gm, z, z_mask)
+            pose, gm, z, z_mask, meas=meas)
 
         H = cfg.max_hypotheses
         if H == 1:
             da, _ = jax.vmap(hungarian)(table)
             gm, z_used, log_w, n_in_fov = self._apply_hypothesis(
                 pose, gm, z, z_mask, da, table, lm_idx, row_valid, pd_rank,
-                state.particles.log_w)
+                state.particles.log_w, meas=meas)
             cand = state.cand
         else:
             # MH: k-best hypotheses, weight split (FastSLAM.hpp:547-563);
@@ -355,7 +360,7 @@ class FastSLAMFilter:
             def one_hyp(h):
                 return self._apply_hypothesis(
                     pose, gm, z, z_mask, das[:, h, :], table, lm_idx,
-                    row_valid, pd_rank, split_log_w)
+                    row_valid, pd_rank, split_log_w, meas=meas)
 
             outs = [one_hyp(h) for h in range(H)]
             gm = jax.tree_util.tree_map(
@@ -375,7 +380,8 @@ class FastSLAMFilter:
         pruned_alive = gm.alive & (gm.w >= cfg.prune_threshold)
         gm = gm.replace(alive=jnp.where(do_prune, pruned_alive, gm.alive))
 
-        gm, cand = self._candidates(pose, gm, cand, z, z_mask, z_used, n_in_fov)
+        gm, cand = self._candidates(pose, gm, cand, z, z_mask, z_used,
+                                    n_in_fov, meas=meas)
 
         # resampling back to n_particles (FastSLAM.hpp:728-757)
         key, k_rs = jax.random.split(state.particles.key)
