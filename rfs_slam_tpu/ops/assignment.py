@@ -213,6 +213,114 @@ def brute_force_assignments(cost: np.ndarray, k: int | None = None):
     return perms, scores
 
 
+def cost_partition(gate: jax.Array, max_iters: int | None = None):
+    """Bipartite connected-component partitioning of a gated cost table.
+
+    Replaces ``CostMatrixGeneral::partition`` (CostMatrix.cpp:92-157, built
+    on boost::graph connected_components) with fixed-iteration min-label
+    propagation: rows and columns start with unique labels and repeatedly
+    take the minimum label over their gated neighbors.  ``ceil(log2(R+C))``
+    doublings suffice because the propagation distance doubles each pass.
+
+    Args:
+        gate: [R, C] bool — entry (r, c) is nonzero/above threshold.
+        max_iters: propagation rounds; default covers the worst-case chain.
+
+    Returns:
+        (row_label [R], col_label [C]) int32 component ids.  A row/column
+        with no gated entry keeps its own singleton label (the reference
+        gives those their own partition too).  Batched via vmap.
+    """
+    R, C = gate.shape
+    if max_iters is None:
+        import math
+
+        max_iters = max(1, math.ceil(math.log2(R + C)) + 1)
+    row = jnp.arange(R, dtype=jnp.int32)
+    col = jnp.arange(R, R + C, dtype=jnp.int32)
+    big = jnp.int32(R + C)
+
+    def step(_, labels):
+        row, col = labels
+        # row <- min over gated cols; col <- min over gated rows
+        col_b = jnp.where(gate, col[None, :], big)
+        row_new = jnp.minimum(row, jnp.min(col_b, axis=1))
+        row_b = jnp.where(gate, row_new[:, None], big)
+        col_new = jnp.minimum(col, jnp.min(row_b, axis=0))
+        return row_new, col_new
+
+    row, col = jax.lax.fori_loop(0, max_iters, step, (row, col))
+    return row, col
+
+
+def cost_reduce(cost: jax.Array, lim: float):
+    """Forced-assignment reduction of a square cost table.
+
+    Replaces ``CostMatrix::reduce`` (CostMatrix.cpp:263-369, the
+    ``minVal=true`` floor-threshold mode used by FastSLAM DA,
+    FastSLAM.hpp:493-499): an entry is a potential match if it exceeds the
+    floor ``lim``; a (row, col) pair where that entry is the ONLY match in
+    both its row and its column becomes a FIXED assignment (single pass —
+    the reference does not iterate).  If exactly one free pair remains, it
+    is fixed too (CostMatrix.cpp:332-337).
+
+    Returns:
+        fixed [n] int32 — column fixed for each row (-1 = row remains in the
+        reduced problem); row_free [n] bool; col_free [n] bool.  The reduced
+        matrix is ``cost`` masked to free rows/cols (callers keep the full
+        shape and mask, the fixed-shape idiom).  Batched via vmap.
+    """
+    n = cost.shape[-1]
+    ok = cost > lim
+    row_cnt = jnp.sum(ok, axis=1)
+    col_cnt = jnp.sum(ok, axis=0)
+    # entries that are the single above-lim entry of BOTH row and column
+    single = ok & (row_cnt[:, None] == 1) & (col_cnt[None, :] == 1)
+    col_of = jnp.argmax(single, axis=1).astype(jnp.int32)
+    has = jnp.any(single, axis=1)
+    fixed = jnp.where(has, col_of, -1)
+    row_free = ~has
+    col_free = ~jnp.any(single, axis=0)
+
+    # n_reduced == 1 quirk: the lone remaining pair is forced
+    one_left = (jnp.sum(row_free) == 1) & (jnp.sum(col_free) == 1)
+    last_row = jnp.argmax(row_free).astype(jnp.int32)
+    last_col = jnp.argmax(col_free).astype(jnp.int32)
+    fixed = jnp.where(
+        one_left & (jnp.arange(n) == last_row), last_col, fixed)
+    row_free = row_free & ~(one_left & (jnp.arange(n) == last_row))
+    col_free = col_free & ~(one_left & (jnp.arange(n) == last_col))
+    return fixed, row_free, col_free
+
+
+def permutations_lexicographic(n_m: int, n_z: int) -> np.ndarray:
+    """All landmark->measurement association vectors in lexicographic order.
+
+    Replaces ``PermutationLexicographic`` (PermutationLexicographic.hpp:44-79):
+    each of the ``n_m`` landmarks is assigned one of the ``n_z`` measurements
+    or ``n_z`` (= missed detection); measurements not claimed are clutter.
+    Measurement indices must be distinct among landmarks.  Returns an
+    ``[n_assignments, n_m]`` int array, ordered lexicographically — usable
+    as a precomputed enumeration tensor for small partitions
+    (RBPHDFilter.hpp:961-988) and as a test oracle.
+
+    NumPy/host-side by design: the output feeds jitted code as a constant.
+    """
+    out = []
+
+    def rec(prefix, used):
+        if len(prefix) == n_m:
+            out.append(list(prefix))
+            return
+        for c in range(n_z + 1):
+            if c < n_z and c in used:
+                continue
+            rec(prefix + [c], used | ({c} if c < n_z else set()))
+
+    rec([], set())
+    return np.asarray(out, np.int32)
+
+
 def matrix_permanent(a: jax.Array) -> jax.Array:
     """Permanent of an [n, n] matrix via the Ryser formula.
 

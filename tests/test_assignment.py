@@ -75,3 +75,106 @@ def test_matrix_permanent():
     for n, e in expect.items():
         p = matrix_permanent(jnp.ones((n, n)) - jnp.eye(n))
         np.testing.assert_allclose(float(p), e, rtol=1e-5)
+
+
+def test_cost_partition_components():
+    import jax.numpy as jnp
+    from rfs_slam_tpu.ops.assignment import cost_partition
+
+    # rows 0,1 share col 0; row 2 alone with col 2; row 3 isolated
+    gate = jnp.asarray([
+        [1, 0, 0],
+        [1, 1, 0],
+        [0, 0, 1],
+        [0, 0, 0],
+    ], bool)
+    row, col = cost_partition(gate)
+    row, col = np.asarray(row), np.asarray(col)
+    assert row[0] == row[1] == col[0] == col[1]
+    assert row[2] == col[2] and row[2] != row[0]
+    assert row[3] not in (row[0], row[2])
+
+
+def test_cost_partition_matches_networkx_style_oracle(rng):
+    import jax.numpy as jnp
+    from rfs_slam_tpu.ops.assignment import cost_partition
+
+    R, C = 12, 9
+    gate = rng.random((R, C)) < 0.15
+    row, col = cost_partition(jnp.asarray(gate))
+    row, col = np.asarray(row), np.asarray(col)
+    # oracle: union-find over the bipartite graph
+    parent = list(range(R + C))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in range(R):
+        for c in range(C):
+            if gate[r, c]:
+                a, b = find(r), find(R + c)
+                parent[a] = b
+    for r1 in range(R):
+        for r2 in range(R):
+            same_ref = find(r1) == find(r2)
+            assert (row[r1] == row[r2]) == same_ref
+    for r in range(R):
+        for c in range(C):
+            same_ref = find(r) == find(R + c)
+            assert (row[r] == col[c]) == same_ref
+
+
+def test_cost_reduce_fixes_unique_entries():
+    import jax.numpy as jnp
+    from rfs_slam_tpu.ops.assignment import cost_reduce
+
+    # (0, 2) is the only above-floor entry in row 0 AND col 2 -> fixed;
+    # rows 1-2 x cols 0-1 stay as the reduced block (single pass, no
+    # fixed-point iteration — CostMatrix.cpp:274-315)
+    cost = jnp.asarray([
+        [0.0, 0.0, 9.0],
+        [8.0, 7.0, 0.0],
+        [6.0, 4.0, 0.0],
+    ])
+    fixed, row_free, col_free = cost_reduce(cost, lim=1.0)
+    fixed = np.asarray(fixed)
+    assert fixed[0] == 2
+    assert fixed[1] == -1 and fixed[2] == -1
+    assert not bool(row_free[0]) and not bool(col_free[2])
+    assert bool(row_free[1]) and bool(row_free[2])
+    assert bool(col_free[0]) and bool(col_free[1])
+
+
+def test_cost_reduce_single_remaining_pair_quirk():
+    import jax.numpy as jnp
+    from rfs_slam_tpu.ops.assignment import cost_reduce
+
+    # 2x2: (0,0) unique in row 0 and col 0 -> fixed; the lone remaining
+    # (1,1) is then forced too (CostMatrix.cpp:332-337)
+    cost = jnp.asarray([
+        [9.0, 0.0],
+        [0.0, 0.5],
+    ])
+    fixed, row_free, col_free = cost_reduce(cost, lim=1.0)
+    fixed = np.asarray(fixed)
+    assert fixed[0] == 0 and fixed[1] == 1
+    assert not row_free.any() and not col_free.any()
+
+
+def test_permutations_lexicographic_counts_and_order():
+    from rfs_slam_tpu.ops.assignment import permutations_lexicographic
+
+    # 2 landmarks x 2 measurements: assignments where each lm takes a
+    # distinct z or the miss symbol (=2): count = 7
+    perms = permutations_lexicographic(2, 2)
+    assert perms.shape == (7, 2)
+    # lexicographic order
+    as_tuples = [tuple(p) for p in perms]
+    assert as_tuples == sorted(as_tuples)
+    # distinctness of real assignments
+    for p in as_tuples:
+        real = [c for c in p if c < 2]
+        assert len(set(real)) == len(real)
