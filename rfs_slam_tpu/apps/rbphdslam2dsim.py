@@ -141,6 +141,8 @@ def main(argv=None):
     ap.add_argument("--logdir", default=None)
     ap.add_argument("--particles", type=int, default=None)
     ap.add_argument("--cpu", action="store_true", help="run on CPU")
+    ap.add_argument("--profile", action="store_true",
+                    help="per-phase timing report (timing.dat equivalent)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -159,6 +161,17 @@ def main(argv=None):
 
     print(f"rbphdslam2dsim: T={sim_cfg.timesteps} P={filt.cfg.n_particles} "
           f"L={sim_cfg.n_landmarks} Zmax={zc} device={jax.devices()[0]}")
+    if args.profile:
+        # TimingInfo-equivalent per-phase report (RBPHDFilter.hpp:1219-1232)
+        from rfs_slam_tpu.utils.timing import profile_phases
+        import jax.numpy as jnp
+        st0 = filt.init_state(jax.random.PRNGKey(args.seed), jnp.zeros(3))
+        timer = profile_phases(
+            filt, st0, jnp.asarray(data.odometry[1], jnp.float32),
+            sim_cfg.dt, jnp.asarray(data.z[1], jnp.float32),
+            jnp.asarray(data.z_mask[1]))
+        print(timer.table())
+
     state, outs, wall = run(filt, sim_cfg, data)
     poses, weights, best, gm_mean, gm_cov, gm_w, gm_alive = outs
     T = sim_cfg.timesteps
@@ -172,6 +185,8 @@ def main(argv=None):
         logs.write_particle_poses(logdir, times, poses, weights)
         logs.write_landmark_estimates(logdir, times, best, gm_mean, gm_cov,
                                       gm_w, gm_alive)
+        if args.profile:
+            logs.write_timing(logdir, timer.report())
         err = np.linalg.norm(
             poses[np.arange(T - 1), best, :2] - data.gt_pose[1:, :2], axis=1
         )
