@@ -67,7 +67,15 @@ def write_sim_data(logdir: str, data, dt: float = 0.1,
 def write_particle_poses(logdir: str, times, poses, weights) -> None:
     """particlePose.dat: t i x y theta w with blank separators
     (rbphdslam2dSim.cpp:609-632).  ``poses``: [T, P, 3]; ``weights``: [T, P].
+
+    Uses the native writer (native/rfsio.cpp) when built; identical format.
     """
+    from rfs_slam_tpu.io import native
+
+    os.makedirs(logdir, exist_ok=True)
+    if native.write_particle_poses(
+            os.path.join(logdir, "particlePose.dat"), times, poses, weights):
+        return
     T, P, _ = poses.shape
     with _open(logdir, "particlePose.dat") as f:
         # initial block at t=0, weight 1.0 (rbphdslam2dSim.cpp:536-541)
@@ -85,7 +93,24 @@ def write_landmark_estimates(logdir: str, times, best_idx, means, covs,
                              weights, alive) -> None:
     """landmarkEst.dat: t i x y Sxx Sxy Syy w — best particle's map per step
     (rbphdslam2dSim.cpp:634-641).  ``means``: [T, M, 2]; ``covs``: [T, M, 2, 2]
-    (or packed [T, M, 3]); ``weights``/``alive``: [T, M]."""
+    (or packed [T, M, 3]); ``weights``/``alive``: [T, M].
+
+    Uses the native writer (native/rfsio.cpp) when built; identical format.
+    """
+    import numpy as _np
+
+    from rfs_slam_tpu.io import native
+
+    os.makedirs(logdir, exist_ok=True)
+    if covs.ndim == 4:
+        packed = _np.stack(
+            [covs[..., 0, 0], covs[..., 0, 1], covs[..., 1, 1]], axis=-1)
+    else:
+        packed = covs
+    if native.write_landmark_estimates(
+            os.path.join(logdir, "landmarkEst.dat"), times, best_idx,
+            means[..., :2], packed, weights, alive):
+        return
     T = means.shape[0]
     with _open(logdir, "landmarkEst.dat") as f:
         for k in range(T):

@@ -24,6 +24,14 @@ import os
 
 import numpy as np
 
+from rfs_slam_tpu.io import native
+
+
+def _loadtxt(path):
+    """np.loadtxt with the native bulk parser (native/rfsio.cpp) when built."""
+    out = native.loadtxt(path)
+    return out if out is not None else np.loadtxt(path)
+
 
 @dataclasses.dataclass
 class VPFrames:
@@ -44,10 +52,10 @@ class VPFrames:
 def load(data_dir: str, scale_ur: float = 1.0, z_capacity: int = 24,
          n_messages: int = 0, ackerman=(0.76, 2.83, 3.78, 0.5)):
     """Build frames from the dataset directory."""
-    sm = np.loadtxt(os.path.join(data_dir, "Sensors_manager.txt"))
-    inputs = np.loadtxt(os.path.join(data_dir, "inputs.dat"))
-    meas = np.loadtxt(os.path.join(data_dir, "measurements.dat"))
-    gps = np.loadtxt(os.path.join(data_dir, "gps.dat"))
+    sm = _loadtxt(os.path.join(data_dir, "Sensors_manager.txt"))
+    inputs = _loadtxt(os.path.join(data_dir, "inputs.dat"))
+    meas = _loadtxt(os.path.join(data_dir, "measurements.dat"))
+    gps = _loadtxt(os.path.join(data_dir, "gps.dat"))
     laser_path = os.path.join(data_dir, "LASER.txt")
     scans_raw = None
     if os.path.exists(laser_path):

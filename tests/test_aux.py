@@ -167,3 +167,54 @@ def test_convert_log_files(tmp_path):
     assert len(lm) == 8 and lm[6] == "0.020000"
     import os
     assert os.path.exists(f"{d}/particlePose.bak")
+
+
+# ---------------------------------------------------------------- native IO
+def test_native_io_matches_python(tmp_path):
+    import pytest
+    from rfs_slam_tpu.io import logs, native
+
+    if native.lib() is None:
+        pytest.skip("librfsio.so not built")
+
+    T, P, M = 3, 4, 5
+    rng = np.random.default_rng(0)
+    times = np.arange(1, T + 1) * 0.1
+    poses = rng.normal(size=(T, P, 3))
+    weights = rng.random((T, P))
+    best = rng.integers(0, P, T)
+    means = rng.normal(size=(T, M, 2))
+    covs = rng.random((T, M, 3))
+    alive = rng.random((T, M)) < 0.7
+
+    d_nat, d_py = str(tmp_path / "nat"), str(tmp_path / "py")
+    logs.write_particle_poses(d_nat, times, poses, weights)
+    logs.write_landmark_estimates(d_nat, times, best, means, covs,
+                                  rng.random((T, M)), alive)
+    # force the python path
+    real_lib = native._LIB
+    native._LIB = None
+    try:
+        logs.write_particle_poses(d_py, times, poses, weights)
+    finally:
+        native._LIB = real_lib
+    a = open(f"{d_nat}/particlePose.dat").read()
+    b = open(f"{d_py}/particlePose.dat").read()
+    assert a == b
+    # alive-filtered landmark rows present
+    n_rows = len(open(f"{d_nat}/landmarkEst.dat").read().splitlines())
+    assert n_rows == int(alive.sum())
+
+
+def test_native_loadtxt_matches_numpy(tmp_path):
+    import pytest
+    from rfs_slam_tpu.io import native
+
+    if native.lib() is None:
+        pytest.skip("librfsio.so not built")
+    p = str(tmp_path / "vals.dat")
+    rng = np.random.default_rng(1)
+    arr = rng.normal(size=(50, 4))
+    np.savetxt(p, arr)
+    got = native.loadtxt(p)
+    np.testing.assert_allclose(got, arr, rtol=1e-12)
