@@ -86,9 +86,9 @@ def run(filt, sim_cfg, data, gt_lock_steps: int = 100):
         best = jnp.argmax(w)
         gm = state.gm
         cov_packed = jnp.stack(
-            [gm.cov[best, :, 0, 0], gm.cov[best, :, 0, 1], gm.cov[best, :, 1, 1]],
-            axis=-1)
-        return state, (state.particles.pose, w, best, gm.mean[best],
+            [gm.cov[0, best], gm.cov[1, best], gm.cov[2, best]], axis=-1)
+        return state, (state.particles.pose, w, best,
+                       jnp.stack([gm.mean[0, best], gm.mean[1, best]], axis=-1),
                        cov_packed, gm.w[best], gm.alive[best])
 
     inputs = (

@@ -164,11 +164,11 @@ def run(filt: FastSLAMFilter, input_cov, frames: vp_io.VPFrames,
         best = jnp.argmax(w)
         gm = state.gm
         cov_packed = jnp.stack(
-            [gm.cov[best, :, 0, 0], gm.cov[best, :, 0, 1], gm.cov[best, :, 1, 1]],
-            axis=-1)
+            [gm.cov[0, best], gm.cov[1, best], gm.cov[3, best]], axis=-1)
         # log-odds -> probability for the landmark weight column
         p_exist = jax.nn.sigmoid(gm.w[best])
-        out = (state.particles.pose, w, best, gm.mean[best, :, :2],
+        out = (state.particles.pose, w, best,
+               jnp.stack([gm.mean[0, best], gm.mean[1, best]], axis=-1),
                cov_packed, p_exist, gm.alive[best])
         return state, out
 

@@ -102,12 +102,12 @@ def run(filt: RBPHDFilter, sim_cfg: sim2d.Sim2DConfig, data: sim2d.Sim2DData,
         best = jnp.argmax(w)
         gm = state.gm
         cov_packed = jnp.stack(
-            [gm.cov[best, :, 0, 0], gm.cov[best, :, 0, 1], gm.cov[best, :, 1, 1]],
-            axis=-1,
+            [gm.cov[0, best], gm.cov[1, best], gm.cov[2, best]], axis=-1,
         )
         out = (
             state.particles.pose, w, best,
-            gm.mean[best], cov_packed, gm.w[best], gm.alive[best],
+            jnp.stack([gm.mean[0, best], gm.mean[1, best]], axis=-1),
+            cov_packed, gm.w[best], gm.alive[best],
         )
         return state, out
 

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from rfs_slam_tpu.core import gaussian
+from rfs_slam_tpu.core import gaussian, planar
 from rfs_slam_tpu.core.state import BirthCandidates, GMState, ParticleState
 from rfs_slam_tpu.ops import gm as gm_ops
 from rfs_slam_tpu.ops import resample as resample_ops
@@ -109,9 +109,9 @@ class FastSLAMFilter:
                 k, p, u, dt, use_model_noise, use_input_noise, input_cov
             )
         )(prop_keys, state.particles.pose)
-        _, cov = lmk.static_step(state.gm.mean, state.gm.cov, dt)
+        _, cov = lmk.static_step_p(state.gm.mean, state.gm.cov, dt)
         gm = state.gm.replace(
-            cov=jnp.where(state.gm.alive[..., None, None], cov, state.gm.cov)
+            cov=jnp.where(state.gm.alive[None], cov, state.gm.cov)
         )
         return state.replace(
             particles=state.particles.replace(pose=pose, key=key), gm=gm
@@ -138,7 +138,7 @@ class FastSLAMFilter:
         meas = self.meas if meas is None else meas
         P, M = gm.w.shape
         NMZ = cfg.nmz_capacity
-        pd, close = meas.pd(pose[:, None, :], gm.mean, gm.cov)
+        pd, close = meas.pd_p(pose[:, None, :], gm.mean, gm.cov)
         in_range = gm.alive & ((pd > 0.0) | close)          # FastSLAM.hpp:456-465
         # rank-compact in-range landmarks to leading rows (stable by index)
         order = jnp.argsort(~in_range, axis=1, stable=True)  # [P, M]
@@ -153,19 +153,22 @@ class FastSLAMFilter:
                 jnp.take_along_axis(in_range, order, axis=1),
                 ((0, 0), (0, NMZ - M)),
             )
-        rows = jnp.arange(P)[:, None]
-        lm_mean = gm.mean[rows, lm_idx]
-        lm_cov = gm.cov[rows, lm_idx]
-        pd_rank = jnp.take_along_axis(pd, lm_idx, axis=1)
-        close_rank = jnp.take_along_axis(close, lm_idx, axis=1)
+        ohl = planar.onehot(jnp.minimum(lm_idx, M - 1), M, gm.w.dtype)
+        lm_mean = planar.take_lane(gm.mean, ohl[None])
+        lm_cov = planar.take_lane(gm.cov, ohl[None])
+        pd_rank = planar.take_lane(pd, ohl)
+        close_rank = planar.take_lane(close.astype(gm.w.dtype), ohl) > 0.5
 
-        pred = meas.measure(pose[:, None, :], lm_mean, lm_cov)
-        innov, _ = self.gates.innovation(
-            pred.z[:, :, None, :], z[None, None, :, :]
-        )                                                   # [P, NMZ, Zc, DZ]
-        md2 = gaussian.quad_form(gaussian.inv(pred.S)[:, :, None], innov)
         dz = z.shape[-1]
-        norm_log = 0.5 * (jnp.log(gaussian.det(pred.S)) + dz * gaussian.LOG_2PI)
+        pred = meas.measure_p(pose[:, None, :], lm_mean, lm_cov)
+        innov, _ = self.gates.innovation_p(
+            [pred.z[d][:, :, None] for d in range(dz)],
+            [z[:, d][None, None, :] for d in range(dz)],
+        )                                                   # planes [P,NMZ,Zc]
+        S_inv = planar.inv_sym(pred.S, dz)
+        md2 = planar.quad_sym(S_inv[:, :, :, None], innov, dz)
+        norm_log = 0.5 * (jnp.log(planar.det_sym(pred.S, dz))
+                          + dz * gaussian.LOG_2PI)
         logL = -0.5 * md2 - norm_log[:, :, None]
         ok = row_valid[:, :, None] & pred.valid[:, :, None] & z_mask[None, None, :]
         logL = jnp.where(ok, jnp.maximum(logL, cfg.min_log_likelihood),
@@ -190,8 +193,9 @@ class FastSLAMFilter:
         Zc = z.shape[0]
         rows = jnp.arange(P)[:, None]
 
+        dz = z.shape[-1]
         da_z = jnp.minimum(da, Zc - 1)
-        zsel = z[da_z]                                      # [P, NMZ, DZ]
+        zsel = jnp.stack([jnp.take(z[:, d], da_z) for d in range(dz)])
         ranks = jnp.arange(NMZ)[None, :]
         L_da = table[rows, ranks, da]
         assoc_ok = (
@@ -201,8 +205,10 @@ class FastSLAMFilter:
             & (L_da > cfg.min_log_likelihood)
         )
 
-        lm_mean = gm.mean[rows, lm_idx]
-        lm_cov = gm.cov[rows, lm_idx]
+        lm_safe = jnp.minimum(lm_idx, M - 1)
+        ohl = planar.onehot(lm_safe, M, gm.w.dtype)
+        lm_mean = planar.take_lane(gm.mean, ohl[None])
+        lm_cov = planar.take_lane(gm.cov, ohl[None])
         m_upd, c_upd, _, _, kf_ok = correct_single(
             meas, self.gates, pose[:, None, :], lm_mean, lm_cov, zsel
         )
@@ -218,17 +224,18 @@ class FastSLAMFilter:
             p_fa + (1 - p_fa) * pd * prior
         )
         p_down = ((1 - pd) * prior) / ((1 - prior) + (1 - pd) * prior)
-        w_rank = gm.w[rows, lm_idx]
+        w_rank = planar.take_lane(gm.w, ohl)
         locked = w_rank > cfg.lock_weight
         p_exist = jnp.where(updated, p_up, jnp.where(locked, 0.5, p_down))
         dw = jnp.log(p_exist) - jnp.log1p(-p_exist)
         w_new_rank = w_rank + jnp.where(row_valid, dw, 0.0)
 
-        # scatter rank-space results back to landmark slots
-        gm_mean = gm.mean.at[rows, lm_idx].set(
-            jnp.where(updated[..., None], m_upd, lm_mean))
-        gm_cov = gm.cov.at[rows, lm_idx].set(
-            jnp.where(updated[..., None, None], c_upd, lm_cov))
+        # scatter rank-space results back to landmark slots (lm_idx == M rows
+        # are out of bounds and dropped by the scatter)
+        gm_mean = gm.mean.at[:, rows, lm_idx].set(
+            jnp.where(updated[None], m_upd, lm_mean))
+        gm_cov = gm.cov.at[:, rows, lm_idx].set(
+            jnp.where(updated[None], c_upd, lm_cov))
         gm_w = gm.w.at[rows, lm_idx].set(
             jnp.where(row_valid, w_new_rank, w_rank))
         gm = gm.replace(mean=gm_mean, cov=gm_cov, w=gm_w)
@@ -246,9 +253,11 @@ class FastSLAMFilter:
         cfg = self.cfg
         meas = self.meas if meas is None else meas
         P, Zc = z_used.shape
+        dz = z.shape[-1]
         unused = z_mask[None, :] & ~z_used
         new_lm_w = jnp.log(cfg.existence_prior) - jnp.log1p(-cfg.existence_prior)
-        inv_mean, inv_cov = meas.inverse(pose[:, None, :], z[None, :, :])
+        z_planes = [z[:, d][None, :] for d in range(dz)]
+        inv_mean, inv_cov = meas.inverse_p(pose[:, None, :], z_planes)
         few = n_in_fov <= cfg.cand_current_meas_count_threshold
 
         if cfg.cand_count_threshold == 1:
@@ -257,10 +266,13 @@ class FastSLAMFilter:
             return gm, cand
 
         # match unused z to candidates
-        pred = meas.measure(pose[:, None, :], cand.mean, cand.cov)
-        innov, _ = self.gates.innovation(
-            pred.z[:, :, None, :], z[None, None, :, :])
-        md2 = gaussian.quad_form(gaussian.inv(pred.S)[:, :, None], innov)
+        pred = meas.measure_p(pose[:, None, :], cand.mean, cand.cov)
+        innov, _ = self.gates.innovation_p(
+            [pred.z[d][:, :, None] for d in range(dz)],
+            [z[:, d][None, None, :] for d in range(dz)],
+        )
+        S_inv = planar.inv_sym(pred.S, dz)
+        md2 = planar.quad_sym(S_inv[:, :, :, None], innov, dz)
         match = (cand.alive[:, :, None] & unused[:, None, :]
                  & (md2 <= cfg.cand_support_dist**2))
         c_ids = jnp.arange(cand.capacity)
@@ -270,14 +282,14 @@ class FastSLAMFilter:
         claim = match & (c_ids[None, :, None] == first_c[:, None, :])
         n_match = jnp.sum(claim, axis=2)
         best_z = jnp.argmin(jnp.where(claim, md2, jnp.inf), axis=2)
-        z_best = jnp.take(z, best_z, axis=0)
+        z_best = jnp.stack([jnp.take(z[:, d], best_z) for d in range(dz)])
         m_upd, c_upd, _, _, _ = correct_single(
             meas, self.gates, pose[:, None, :], cand.mean, cand.cov, z_best
         )
         has_match = n_match > 0
         cand = cand.replace(
-            mean=jnp.where(has_match[..., None], m_upd, cand.mean),
-            cov=jnp.where(has_match[..., None, None], c_upd, cand.cov),
+            mean=jnp.where(has_match[None], m_upd, cand.mean),
+            cov=jnp.where(has_match[None], c_upd, cand.cov),
             n_support=cand.n_support + n_match,
         )
 
@@ -299,19 +311,21 @@ class FastSLAMFilter:
         ok = jnp.arange(K)[None, :] < jnp.minimum(n_free, n_new)
         rows = jnp.arange(P)[:, None]
 
-        def scat(dst_arr, src_arr, extra):
-            src_v = jnp.take_along_axis(
-                src_arr, src.reshape(src.shape + (1,) * extra), axis=1)
-            old = jnp.take_along_axis(
-                dst_arr, dest.reshape(dest.shape + (1,) * extra), axis=1)
-            return dst_arr.at[rows, dest].set(
-                jnp.where(ok.reshape(ok.shape + (1,) * extra), src_v, old))
+        def scat_pm(dst_arr, src_arr):
+            src_v = jnp.take_along_axis(src_arr, src, axis=1)
+            old = jnp.take_along_axis(dst_arr, dest, axis=1)
+            return dst_arr.at[rows, dest].set(jnp.where(ok, src_v, old))
+
+        def scat_pl(dst_arr, src_arr):
+            src_v = jnp.take_along_axis(src_arr, src[None], axis=2)
+            old = jnp.take_along_axis(dst_arr, dest[None], axis=2)
+            return dst_arr.at[:, rows, dest].set(jnp.where(ok[None], src_v, old))
 
         cand = cand.replace(
-            mean=scat(cand.mean, inv_mean, 1),
-            cov=scat(cand.cov, inv_cov, 2),
-            n_support=scat(cand.n_support, jnp.ones((P, Zc), jnp.int32), 0),
-            n_checks=scat(cand.n_checks, jnp.zeros((P, Zc), jnp.int32), 0),
+            mean=scat_pl(cand.mean, inv_mean),
+            cov=scat_pl(cand.cov, inv_cov),
+            n_support=scat_pm(cand.n_support, jnp.ones((P, Zc), jnp.int32)),
+            n_checks=scat_pm(cand.n_checks, jnp.zeros((P, Zc), jnp.int32)),
             alive=cand.alive.at[rows, dest].set(
                 jnp.where(ok, True, jnp.take_along_axis(cand.alive, dest, axis=1))),
         )
@@ -363,14 +377,26 @@ class FastSLAMFilter:
                     row_valid, pd_rank, split_log_w, meas=meas)
 
             outs = [one_hyp(h) for h in range(H)]
-            gm = jax.tree_util.tree_map(
-                lambda *xs: jnp.concatenate(xs, axis=0), *[o[0] for o in outs])
+            gms = [o[0] for o in outs]
+            gm = GMState(
+                mean=jnp.concatenate([g.mean for g in gms], axis=1),
+                cov=jnp.concatenate([g.cov for g in gms], axis=1),
+                w=jnp.concatenate([g.w for g in gms], axis=0),
+                w_prev=jnp.concatenate([g.w_prev for g in gms], axis=0),
+                alive=jnp.concatenate([g.alive for g in gms], axis=0),
+            )
             z_used = jnp.concatenate([o[1] for o in outs], axis=0)
             log_w = jnp.concatenate([o[2] for o in outs], axis=0)
             n_in_fov = jnp.concatenate([o[3] for o in outs], axis=0)
             pose = jnp.tile(pose, (H, 1))
-            cand = jax.tree_util.tree_map(
-                lambda a: jnp.tile(a, (H,) + (1,) * (a.ndim - 1)), state.cand)
+            c = state.cand
+            cand = BirthCandidates(
+                mean=jnp.tile(c.mean, (1, H, 1)),
+                cov=jnp.tile(c.cov, (1, H, 1)),
+                n_support=jnp.tile(c.n_support, (H, 1)),
+                n_checks=jnp.tile(c.n_checks, (H, 1)),
+                alive=jnp.tile(c.alive, (H, 1)),
+            )
             # duplicated hypotheses (keep=False) carry -inf weight
             dup = ~keep.T.reshape(-1)
             log_w = jnp.where(dup, -jnp.inf, log_w)

@@ -12,6 +12,11 @@ whole particle set:
   subset-sum DP of :mod:`rfs_slam_tpu.ops.rfs_likelihood`), GM merge/prune,
   and ESS-gated systematic resampling (RBPHDFilter.hpp:500-539).
 
+All map state is plane-major (:mod:`rfs_slam_tpu.core.planar`): means are
+``[D, P, M]`` and covariances packed ``[T, P, M]``, so the landmark axis M
+fills TPU lanes and every phase is a fused elementwise program.  The weight
+table is ``[P, Z, M]``.
+
 Known, documented deviations from the reference (all order-dependence or
 approximation-class; parity is statistical — see SURVEY.md section 7):
 
@@ -33,7 +38,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from rfs_slam_tpu.core import gaussian
+from rfs_slam_tpu.core import gaussian, planar
 from rfs_slam_tpu.core.state import BirthCandidates, GMState, ParticleState
 from rfs_slam_tpu.ops import gm as gm_ops
 from rfs_slam_tpu.ops import resample as resample_ops
@@ -148,8 +153,8 @@ class RBPHDFilter:
         )(prop_keys, state.particles.pose)
 
         # landmark static step: cov += Q_lm (RBPHDFilter.hpp:433-439)
-        _, cov = lmk.static_step(gm.mean, gm.cov, dt)
-        gm = gm.replace(cov=jnp.where(gm.alive[..., None, None], cov, gm.cov))
+        _, cov = lmk.static_step_p(gm.mean, gm.cov, dt)
+        gm = gm.replace(cov=jnp.where(gm.alive[None], cov, gm.cov))
 
         return state.replace(
             particles=state.particles.replace(pose=pose, key=key),
@@ -169,12 +174,14 @@ class RBPHDFilter:
         meas = meas if meas is not None else self.meas
         pose = state.particles.pose                       # [P, 3]
         z = state.last_z                                  # [Zc, DZ]
+        dz = z.shape[-1]
         unused = state.last_unused                        # [P, Zc]
         birth = state.birth
         P, Zc = unused.shape
 
         # landmark estimate for every unused measurement via the inverse model
-        inv_mean, inv_cov = meas.inverse(pose[:, None, :], z[None, :, :])
+        z_planes = [z[:, d][None, :] for d in range(dz)]  # broadcast [P, Zc]
+        inv_mean, inv_cov = meas.inverse_p(pose[:, None, :], z_planes)
 
         few_in_fov = state.n_in_fov <= cfg.birth_current_meas_count_threshold
 
@@ -186,11 +193,13 @@ class RBPHDFilter:
             return gm, birth
 
         # ---- candidate matching
-        pred = meas.measure(pose[:, None, :], birth.mean, birth.cov)
-        innov, _ = self.gates.innovation(
-            pred.z[:, :, None, :], z[None, None, :, :]
-        )                                                  # [P, C, Zc, DZ]
-        md2 = gaussian.quad_form(gaussian.inv(pred.S)[:, :, None], innov)
+        pred = meas.measure_p(pose[:, None, :], birth.mean, birth.cov)
+        innov, _ = self.gates.innovation_p(
+            [pred.z[d][:, :, None] for d in range(dz)],
+            [z[:, d][None, None, :] for d in range(dz)],
+        )                                                  # planes [P, C, Zc]
+        S_inv = planar.inv_sym(pred.S, dz)
+        md2 = planar.quad_sym(S_inv[:, :, :, None], innov, dz)   # [P, C, Zc]
         d2 = cfg.birth_support_dist**2
         match = (
             birth.alive[:, :, None] & unused[:, None, :] & (md2 <= d2)
@@ -207,14 +216,14 @@ class RBPHDFilter:
         # candidate correction with its best-matching measurement
         n_match = jnp.sum(claim, axis=2)                   # [P, C]
         best_z = jnp.argmin(jnp.where(claim, md2, jnp.inf), axis=2)
-        z_best = jnp.take(z, best_z, axis=0)               # [P, C, DZ]
+        z_best = jnp.stack([jnp.take(z[:, d], best_z) for d in range(dz)])
         m_upd, c_upd, _, _, _ = correct_single(
             meas, self.gates, pose[:, None, :], birth.mean, birth.cov, z_best
         )
         has_match = n_match > 0
         birth = birth.replace(
-            mean=jnp.where(has_match[..., None], m_upd, birth.mean),
-            cov=jnp.where(has_match[..., None, None], c_upd, birth.cov),
+            mean=jnp.where(has_match[None], m_upd, birth.mean),
+            cov=jnp.where(has_match[None], c_upd, birth.cov),
             n_support=birth.n_support + n_match,
         )
 
@@ -240,24 +249,29 @@ class RBPHDFilter:
         ok = (jnp.arange(K)[None, :] < jnp.minimum(n_free, n_new))
         rows = jnp.arange(P)[:, None]
 
-        def scat(dst_arr, src_arr, extra_dims):
-            src_v = jnp.take_along_axis(
-                src_arr, src.reshape(src.shape + (1,) * extra_dims), axis=1
-            )
+        def scat_pm(dst_arr, src_arr):
+            """[P, C] dst <- [P, Zc] src at (rows, dest)."""
+            src_v = jnp.take_along_axis(src_arr, src, axis=1)
             upd = jnp.where(
-                ok.reshape(ok.shape + (1,) * extra_dims),
-                src_v,
-                jnp.take_along_axis(
-                    dst_arr, dest.reshape(dest.shape + (1,) * extra_dims), axis=1
-                ),
+                ok, src_v, jnp.take_along_axis(dst_arr, dest, axis=1)
             )
             return dst_arr.at[rows, dest].set(upd)
 
+        def scat_pl(dst_arr, src_arr):
+            """[X, P, C] dst <- [X, P, Zc] src at (:, rows, dest)."""
+            src_v = jnp.take_along_axis(src_arr, src[None], axis=2)
+            upd = jnp.where(
+                ok[None], src_v,
+                jnp.take_along_axis(dst_arr, dest[None], axis=2),
+            )
+            return dst_arr.at[:, rows, dest].set(upd)
+
         birth = birth.replace(
-            mean=scat(birth.mean, inv_mean, 1),
-            cov=scat(birth.cov, inv_cov, 2),
-            n_support=scat(birth.n_support, jnp.ones_like(birth.n_support[:, :1]).repeat(Zc, 1), 0),
-            n_checks=scat(birth.n_checks, jnp.zeros((P, Zc), jnp.int32), 0),
+            mean=scat_pl(birth.mean, inv_mean),
+            cov=scat_pl(birth.cov, inv_cov),
+            n_support=scat_pm(birth.n_support,
+                              jnp.ones((P, Zc), jnp.int32)),
+            n_checks=scat_pm(birth.n_checks, jnp.zeros((P, Zc), jnp.int32)),
             alive=birth.alive.at[rows, dest].set(
                 jnp.where(ok, True, jnp.take_along_axis(birth.alive, dest, axis=1))
             ),
@@ -301,12 +315,13 @@ class RBPHDFilter:
         meas = meas if meas is not None else self.meas
         gm = state.gm
         pose = state.particles.pose
+        D = gm.dim
         P, M = gm.w.shape
         Zc = z.shape[0]
         nZ = jnp.sum(z_mask)
 
         # ---------- probability of detection (RBPHDFilter.hpp:597-609)
-        pd_raw, close = meas.pd(pose[:, None, :], gm.mean, gm.cov)
+        pd_raw, close = meas.pd_p(pose[:, None, :], gm.mean, gm.cov)
         pd_raw = jnp.where(gm.alive, pd_raw, 0.0)
         close = close & gm.alive
         pd = jnp.where(close, 1.0, pd_raw)   # close-to-limit forces Pd = 1
@@ -315,20 +330,20 @@ class RBPHDFilter:
         # ---------- batched EKF correction (KalmanFilter.hpp:261-342)
         corr = correct_all(meas, self.gates, pose, gm.mean, gm.cov, z)
 
-        # ---------- nM x nZ weight table (RBPHDFilter.hpp:620-659)
+        # ---------- nM x nZ weight table [P, Z, M] (RBPHDFilter.hpp:620-659)
         md_gate = corr.md2 <= cfg.new_gaussian_md_threshold**2
         cell = (
-            gm.alive[:, :, None] & (pd[:, :, None] > 0.0) & z_mask[None, None, :]
-            & md_gate & (corr.likelihood > 0.0)
+            gm.alive[:, None, :] & (pd[:, None, :] > 0.0)
+            & z_mask[None, :, None] & md_gate & (corr.likelihood > 0.0)
         )
         w_tab = jnp.where(
-            cell, pd[:, :, None] * gm.w[:, :, None] * corr.likelihood, 0.0
+            cell, pd[:, None, :] * gm.w[:, None, :] * corr.likelihood, 0.0
         )
         clutter_z = jnp.broadcast_to(
             meas.clutter_intensity(z, nZ), (Zc,)
         )
-        col_sum = clutter_z[None, :] + jnp.sum(w_tab, axis=1)     # [P, Zc]
-        w_tab = jnp.where(z_mask[None, None, :], w_tab / col_sum[:, None, :], 0.0)
+        col_sum = clutter_z[None, :] + jnp.sum(w_tab, axis=2)     # [P, Zc]
+        w_tab = jnp.where(z_mask[None, :, None], w_tab / col_sum[:, :, None], 0.0)
 
         log_w = state.particles.log_w
         if cfg.use_cluster_process:
@@ -342,7 +357,7 @@ class RBPHDFilter:
         # ---------- missed-detection weights (RBPHDFilter.hpp:686-706)
         w_km = gm.w
         w_miss = (1.0 - pd) * w_km
-        row_sum = jnp.sum(w_tab, axis=2)
+        row_sum = jnp.sum(w_tab, axis=1)                           # [P, M]
         delta = pd * w_km - row_sum
         comp = close & (w_km > cfg.birth_gaussian_weight) & (delta > 0.0)
         w_miss = jnp.where(comp, jnp.minimum(w_miss + delta, 1.0), w_miss)
@@ -352,17 +367,23 @@ class RBPHDFilter:
         )
 
         # ---------- unused measurements (RBPHDFilter.hpp:709-720)
-        used = jnp.any(w_tab > 0.0, axis=1)                        # [P, Zc]
+        used = jnp.any(w_tab > 0.0, axis=2)                        # [P, Zc]
         unused = z_mask[None, :] & ~used
 
         # ---------- new Gaussians, compacted to new_capacity
-        new_w_flat = w_tab.reshape(P, M * Zc)
+        new_w_flat = w_tab.reshape(P, Zc * M)
         k = min(cfg.new_capacity, M * Zc)
         top_w, top_idx = jax.lax.top_k(new_w_flat, k)
-        m_idx = top_idx // Zc
-        rows = jnp.arange(P)[:, None]
-        new_mean = corr.mean_upd.reshape(P, M * Zc, -1)[rows, top_idx]
-        new_cov = corr.cov_upd[rows, m_idx]
+        z_idx = top_idx // M
+        m_idx = top_idx % M
+        # two-step gather: z rows along the sublane axis, then a one-hot
+        # reduce over the landmark (lane) axis
+        mean_zsel = jnp.take_along_axis(
+            corr.mean_upd, z_idx[None, :, :, None], axis=2
+        )                                                          # [D,P,k,M]
+        ohm = planar.onehot(m_idx, M, w_tab.dtype)                 # [P,k,M]
+        new_mean = jnp.sum(mean_zsel * ohm[None], axis=-1)         # [D,P,k]
+        new_cov = planar.take_lane(corr.cov_upd, ohm[None])        # [T,P,k]
         new_alive = top_w > 0.0
         gm_full = gm_ops.append(gm_old, new_mean, new_cov, top_w, new_alive,
                                 capacity=cfg.map_capacity)
@@ -413,25 +434,31 @@ class RBPHDFilter:
         """Reference: RBPHDFilter::importanceWeighting (RBPHDFilter.hpp:728-819)."""
         cfg = self.cfg
         meas = meas if meas is not None else self.meas
+        D = gm.dim
         P, M = gm.w.shape
         E = cfg.eval_capacity
+        dz = z.shape[-1]
 
         # eval-point selection: top-E by weight among w >= minWeight, Pd > 0
-        pd_eval, _ = meas.pd(pose[:, None, :], gm.mean, gm.cov)
+        pd_eval, _ = meas.pd_p(pose[:, None, :], gm.mean, gm.cov)
         elig = gm.alive & (gm.w >= cfg.eval_pt_min_weight) & (pd_eval > 0.0)
         score = jnp.where(elig, gm.w, -jnp.inf)
         _, eval_idx = jax.lax.top_k(score, E)              # [P, E]
-        rows = jnp.arange(P)[:, None]
-        eval_valid = jnp.take_along_axis(elig, eval_idx, axis=1)
-        eval_mean = gm.mean[rows, eval_idx]                # [P, E, D]
-        eval_pd = jnp.take_along_axis(pd_eval, eval_idx, axis=1)
+        ohe = planar.onehot(eval_idx, M, gm.w.dtype)       # [P, E, M]
+        eval_valid = planar.take_lane(elig.astype(gm.w.dtype), ohe) > 0.5
+        eval_mean = planar.take_lane(gm.mean, ohe[None])   # [D, P, E]
+        eval_pd = planar.take_lane(pd_eval, ohe)
         n_eval = jnp.sum(eval_valid, axis=1)
 
         # GM intensity at eval points before/after update (hpp:765-800)
-        lik_em, _ = gaussian.eval_likelihood(
-            gm.mean[:, None, :, :], gm.cov[:, None, :, :],
-            eval_mean[:, :, None, :],
-        )                                                   # [P, E, M]
+        diff = [gm.mean[d][:, None, :] - eval_mean[d][:, :, None]
+                for d in range(D)]                          # [P, E, M]
+        cov_inv = planar.inv_sym(gm.cov, D)
+        md2_em = planar.quad_sym(cov_inv[:, :, None, :], diff, D)  # [P, E, M]
+        det_m = planar.det_sym(gm.cov, D)                   # [P, M]
+        norm_m = jnp.sqrt((2.0 * jnp.pi) ** D * det_m)
+        lik_em = jnp.exp(-0.5 * md2_em) / norm_m[:, None, :]
+        lik_em = jnp.where(jnp.isfinite(lik_em), lik_em, 0.0)
         lik_em = jnp.where(gm.alive[:, None, :], lik_em, 0.0)
         tiny = jnp.asarray(gaussian.TINY, lik_em.dtype)
         int_before = tiny + jnp.einsum("pem,pm->pe", lik_em,
@@ -448,13 +475,14 @@ class RBPHDFilter:
 
         # RFS measurement likelihood at eval points: expected measurement with
         # ZERO landmark covariance (S = R), gated (hpp:847-863)
-        predE = meas.measure(pose[:, None, :], eval_mean)
-        innov, _ = self.gates.innovation(
-            predE.z[:, :, None, :], z[None, None, :, :]
-        )
-        md2 = gaussian.quad_form(gaussian.inv(predE.S)[:, :, None], innov)
-        dz = z.shape[-1]
-        norm = jnp.sqrt((2 * jnp.pi) ** dz * gaussian.det(predE.S))
+        predE = meas.measure_p(pose[:, None, :], eval_mean)
+        innov, _ = self.gates.innovation_p(
+            [predE.z[d][:, :, None] for d in range(dz)],
+            [z[:, d][None, None, :] for d in range(dz)],
+        )                                                   # planes [P, E, Zc]
+        S_inv = planar.inv_sym(predE.S, dz)
+        md2 = planar.quad_sym(S_inv[:, :, :, None], innov, dz)
+        norm = jnp.sqrt((2.0 * jnp.pi) ** dz * planar.det_sym(predE.S, dz))
         L = jnp.exp(-0.5 * md2) / norm[:, :, None]
         L = jnp.where(jnp.isfinite(L), L, 0.0)
         L = jnp.where(md2 <= cfg.weighting_md_threshold**2, L, 0.0)

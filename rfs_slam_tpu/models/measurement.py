@@ -43,6 +43,20 @@ class MeasurePrediction(NamedTuple):
     valid: jax.Array      # (...,) bool — the reference's bool return value
 
 
+class PlanarPrediction(NamedTuple):
+    """Plane-layout prediction (see :mod:`rfs_slam_tpu.core.planar`).
+
+    Produced by the ``measure_p`` hot-path API: every element is a plane (or
+    list of planes) with the full batch shape, so the EKF kernel fuses into
+    one elementwise program.
+    """
+
+    z: tuple              # DZ planes
+    S: jax.Array          # [TZ, ...] packed innovation covariance planes
+    H: list               # DZ x D nested list of H_lmk planes
+    valid: jax.Array      # bool plane
+
+
 class RangeBearing(struct.PyTreeNode):
     """2-D range-bearing model (reference: MeasurementModel_RngBrg.cpp).
 
@@ -89,6 +103,51 @@ class RangeBearing(struct.PyTreeNode):
             S = S + H_lmk @ lm_cov @ jnp.swapaxes(H_lmk, -1, -2)
         valid = (r <= self.r_max) & (r >= self.r_min)
         return MeasurePrediction(z, S, H_lmk, H_pose, valid)
+
+    def measure_p(self, pose, mean, cov=None) -> PlanarPrediction:
+        """Plane-layout measure: ``mean[2, ...]``, ``cov[3, ...]`` packed."""
+        from rfs_slam_tpu.core import planar
+
+        dx = mean[0] - pose[..., 0]
+        dy = mean[1] - pose[..., 1]
+        r2 = dx * dx + dy * dy
+        r = jnp.sqrt(r2)
+        b = gaussian.wrap_angle(jnp.arctan2(dy, dx) - pose[..., 2])
+        H = [[dx / r, dy / r], [-dy / r2, dx / r2]]
+        if cov is not None:
+            S = planar.sandwich_sym(H, cov, 2, R=self.R)
+        else:
+            S = jnp.stack([jnp.broadcast_to(v, r.shape)
+                           for v in (self.R[0, 0], self.R[0, 1], self.R[1, 1])])
+        valid = (r <= self.r_max) & (r >= self.r_min)
+        return PlanarPrediction((r, b), S, H, valid)
+
+    def inverse_p(self, pose, z):
+        """Plane-layout inverse: ``z`` = DZ planes -> (mean[2,...], cov[3,...])."""
+        from rfs_slam_tpu.core import planar
+
+        a = pose[..., 2] + z[1]
+        c, s = jnp.cos(a), jnp.sin(a)
+        r = z[0]
+        mean = jnp.stack([pose[..., 0] + r * c, pose[..., 1] + r * s])
+        Hinv = [[c, -r * s], [s, r * c]]
+        cov = planar.sandwich_sym(Hinv, planar.pack_sym(self.R), 2)
+        return mean, cov
+
+    def pd_p(self, pose, mean, cov=None):
+        """Plane-layout Pd: returns ([...] pd plane, [...] close plane)."""
+        dx = mean[0] - pose[..., 0]
+        dy = mean[1] - pose[..., 1]
+        r = jnp.sqrt(dx * dx + dy * dy)
+        inside = (r <= self.r_max) & (r >= self.r_min)
+        pd = jnp.where(inside, self.pd_const, 0.0)
+        near_inner = inside & (
+            (r >= self.r_max - self.r_buf) | (r <= self.r_min + self.r_buf)
+        )
+        near_outer = (~inside) & (
+            (r <= self.r_max + self.r_buf) & (r >= self.r_min - self.r_buf)
+        )
+        return pd, near_inner | near_outer
 
     def inverse(self, pose: jax.Array, z: jax.Array):
         a = pose[..., 2] + z[..., 1]
@@ -166,6 +225,54 @@ class XY(struct.PyTreeNode):
         valid = (r <= self.r_max) & (r >= self.r_min)
         return MeasurePrediction(z, S, H_lmk, H_pose, valid)
 
+    def measure_p(self, pose, mean, cov=None) -> PlanarPrediction:
+        from rfs_slam_tpu.core import planar
+
+        dx = mean[0] - pose[..., 0]
+        dy = mean[1] - pose[..., 1]
+        c, s = jnp.cos(pose[..., 2]), jnp.sin(pose[..., 2])
+        zx = c * dx + s * dy
+        zy = -s * dx + c * dy
+        cb = jnp.broadcast_to(c, dx.shape)
+        sb = jnp.broadcast_to(s, dx.shape)
+        H = [[cb, sb], [-sb, cb]]
+        if cov is not None:
+            S = planar.sandwich_sym(H, cov, 2, R=self.R)
+        else:
+            S = jnp.stack([jnp.broadcast_to(v, dx.shape)
+                           for v in (self.R[0, 0], self.R[0, 1], self.R[1, 1])])
+        r = jnp.sqrt(dx * dx + dy * dy)
+        valid = (r <= self.r_max) & (r >= self.r_min)
+        return PlanarPrediction((zx, zy), S, H, valid)
+
+    def inverse_p(self, pose, z):
+        from rfs_slam_tpu.core import planar
+
+        c, s = jnp.cos(pose[..., 2]), jnp.sin(pose[..., 2])
+        mean = jnp.stack([
+            pose[..., 0] + c * z[0] - s * z[1],
+            pose[..., 1] + s * z[0] + c * z[1],
+        ])
+        zx = jnp.broadcast_to(c, mean[0].shape)
+        zs = jnp.broadcast_to(s, mean[0].shape)
+        Hinv = [[zx, -zs], [zs, zx]]
+        cov = planar.sandwich_sym(Hinv, planar.pack_sym(self.R), 2)
+        return mean, cov
+
+    def pd_p(self, pose, mean, cov=None):
+        dx = mean[0] - pose[..., 0]
+        dy = mean[1] - pose[..., 1]
+        r = jnp.sqrt(dx * dx + dy * dy)
+        inside = (r <= self.r_max) & (r >= self.r_min)
+        pd = jnp.where(inside, self.pd_const, 0.0)
+        near_inner = inside & (
+            (r >= self.r_max - self.r_buf) | (r <= self.r_min + self.r_buf)
+        )
+        near_outer = (~inside) & (
+            (r <= self.r_max + self.r_buf) & (r >= self.r_min - self.r_buf)
+        )
+        return pd, near_inner | near_outer
+
     def inverse(self, pose, z):
         c, s = jnp.cos(pose[..., 2]), jnp.sin(pose[..., 2])
         mean = jnp.stack(
@@ -222,6 +329,33 @@ class Range1D(struct.PyTreeNode):
         r = jnp.abs(z[..., 0])
         valid = (r <= self.r_max) & (r >= self.r_min)
         return MeasurePrediction(z, S, one, -one, valid)
+
+    def measure_p(self, pose, mean, cov=None) -> PlanarPrediction:
+        zz = mean[0] - pose[..., 0]
+        one = jnp.ones_like(zz)
+        S = (cov + self.R[0, 0]) if cov is not None else jnp.stack(
+            [jnp.broadcast_to(self.R[0, 0], zz.shape)]
+        )
+        r = jnp.abs(zz)
+        valid = (r <= self.r_max) & (r >= self.r_min)
+        return PlanarPrediction((zz,), S, [[one]], valid)
+
+    def inverse_p(self, pose, z):
+        mean = jnp.stack([pose[..., 0] + z[0]])
+        cov = jnp.broadcast_to(self.R[0, 0], mean.shape)
+        return mean, cov
+
+    def pd_p(self, pose, mean, cov=None):
+        r = jnp.abs(mean[0] - pose[..., 0])
+        inside = (r <= self.r_max) & (r >= self.r_min)
+        pd = jnp.where(inside, self.pd_const, 0.0)
+        near_inner = inside & (
+            (r >= self.r_max - self.r_buf) | (r <= self.r_min + self.r_buf)
+        )
+        near_outer = (~inside) & (
+            (r <= self.r_max + self.r_buf) & (r >= self.r_min - self.r_buf)
+        )
+        return pd, near_inner | near_outer
 
     def inverse(self, pose, z):
         mean = pose + z

@@ -30,7 +30,7 @@ def _maybe_sample_input(key, u, use_input_noise, input_cov):
                              and not use_input_noise):
         return u
     d = u.shape[-1]
-    u_s = gaussian.sample(key, u, jnp.broadcast_to(input_cov, u.shape + (d,)))
+    u_s = gaussian.sample(key, u, input_cov)
     if isinstance(use_input_noise, bool):
         return u_s
     return jnp.where(jnp.asarray(use_input_noise), u_s, u)
@@ -78,7 +78,7 @@ class Odometry2D(struct.PyTreeNode):
         u = _maybe_sample_input(k_in, u, use_input_noise, input_cov)
         out = self.step(pose, u, dt)
         if use_model_noise:
-            out = gaussian.sample(k_add, out, jnp.broadcast_to(self.Q, out.shape + (3,)))
+            out = gaussian.sample(k_add, out, self.Q)
             out = out.at[..., 2].set(gaussian.wrap_angle(out[..., 2]))
         return out
 
@@ -97,7 +97,7 @@ class Odometry1D(struct.PyTreeNode):
         u = _maybe_sample_input(k_in, u, use_input_noise, input_cov)
         out = self.step(pose, u, dt)
         if use_model_noise:
-            out = gaussian.sample(k_add, out, jnp.broadcast_to(self.Q, out.shape + (1,)))
+            out = gaussian.sample(k_add, out, self.Q)
         return out
 
 
@@ -141,7 +141,7 @@ class Ackerman2D(struct.PyTreeNode):
         u = _maybe_sample_input(k_in, u, use_input_noise, input_cov)
         out = self.step(pose, u, dt)
         if use_model_noise:
-            out = gaussian.sample(k_add, out, jnp.broadcast_to(self.Q, out.shape + (3,)))
+            out = gaussian.sample(k_add, out, self.Q)
         return out
 
 
@@ -165,3 +165,11 @@ class StaticLandmark(struct.PyTreeNode):
     def static_step(self, mean: jax.Array, cov: jax.Array, dt):
         q = self.Q * (dt * dt) if self.per_dt2 else self.Q
         return mean, cov + q
+
+    def static_step_p(self, mean: jax.Array, cov: jax.Array, dt):
+        """Plane-layout step: ``cov[T, ...]`` packed (see core.planar)."""
+        from rfs_slam_tpu.core import planar
+
+        q = self.Q * (dt * dt) if self.per_dt2 else self.Q
+        qp = planar.pack_sym(jnp.asarray(q))
+        return mean, cov + qp.reshape(qp.shape + (1,) * (cov.ndim - 1))

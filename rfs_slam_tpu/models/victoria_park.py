@@ -94,6 +94,126 @@ class VictoriaPark(struct.PyTreeNode):
         H_pose = jnp.zeros(z.shape + (3,))
         return MeasurePrediction(z, S, H, H_pose, valid)
 
+    def measure_p(self, pose, mean, cov=None):
+        """Plane-layout measure: ``mean[3, ...]`` (x, y, diameter),
+        ``cov[6, ...]`` packed.  See MeasurementModel_VictoriaPark.cpp:96-135."""
+        from rfs_slam_tpu.core import planar
+        from rfs_slam_tpu.models.measurement import PlanarPrediction
+
+        th = pose[..., 2] - jnp.pi / 2.0
+        dx = mean[0] - pose[..., 0]
+        dy = mean[1] - pose[..., 1]
+        r2 = dx * dx + dy * dy
+        r = jnp.sqrt(r2)
+        b = gaussian.wrap_angle(jnp.arctan2(dy, dx) - th)
+        zero = jnp.zeros_like(r)
+        one = jnp.ones_like(r)
+        H = [
+            [dx / r, dy / r, zero],
+            [-dy / r2, dx / r2, zero],
+            [zero, zero, one],
+        ]
+        if cov is not None:
+            S = planar.sandwich_sym(H, cov, 3, R=self.R)
+        else:
+            S = jnp.stack([
+                jnp.broadcast_to(self.R[i, j], r.shape)
+                for i in range(3) for j in range(i, 3)
+            ])
+        S = S.at[planar.tri_index(2, 2, 3)].add(r2 * self.slb)
+        valid = jnp.ones_like(r, bool)
+        return PlanarPrediction((r, b, mean[2] + zero), S, H, valid)
+
+    def inverse_p(self, pose, z):
+        """Plane-layout inverse: z = (range, bearing, diameter) planes."""
+        from rfs_slam_tpu.core import planar
+
+        th = pose[..., 2] - jnp.pi / 2.0
+        a = th + z[1]
+        c, s = jnp.cos(a), jnp.sin(a)
+        r = z[0]
+        mx = pose[..., 0] + r * c
+        my = pose[..., 1] + r * s
+        md = jnp.broadcast_to(z[2], mx.shape)
+        mean = jnp.stack([mx, my, md])
+        Hinv = [[c, -r * s], [s, r * c]]
+        cov2 = planar.sandwich_sym(Hinv, planar.pack_sym(self.R[:2, :2]), 2)
+        zero = jnp.zeros_like(mx)
+        cov = jnp.stack([
+            cov2[0] + zero, cov2[1] + zero, zero,
+            cov2[2] + zero, zero,
+            jnp.broadcast_to(self.R[2, 2], mx.shape),
+        ])
+        return mean, cov
+
+    def _pd_single_p(self, pose, lx, ly, diameter):
+        """Plane-layout probabilityOfDetection2 (:202-265)."""
+        K = self.pd_table.shape[0]
+        th = pose[..., 2] - jnp.pi / 2.0
+        dx = lx - pose[..., 0]
+        dy = ly - pose[..., 1]
+        rng = jnp.sqrt(dx * dx + dy * dy)
+        ang = gaussian.wrap_angle(jnp.arctan2(dy, dx) - th)
+
+        in_limits = (
+            (ang <= self.b_max) & (ang >= self.b_min)
+            & (rng >= self.r_min) & (rng <= self.r_max)
+        )
+        radius = diameter / 2.0
+        gamma = jnp.arctan(radius / rng)
+        max_pts = jnp.floor(2.0 * gamma * 720.0 / (2.0 * jnp.pi)).astype(jnp.int32)
+        max_pts_c = jnp.clip(max_pts, 0, K - 1)
+        geo_zero = (max_pts < K) & (self.pd_table[max_pts_c] == 0.0)
+        close = (max_pts < K) & (self.pd_table[max_pts_c] < self.buffer_pd)
+
+        if self.has_scan:
+            minb = jnp.ceil((ang - gamma) * 720.0 / (2.0 * jnp.pi)).astype(jnp.int32)
+            minb = jnp.mod(minb, 720)
+            offs = jnp.arange(BEAM_WINDOW)
+            bins = jnp.mod(minb[..., None] + offs, 720)
+            scan_v = self.scan720[bins]
+            minrange = rng - radius - 6.0 * 0.03
+            visible = (scan_v > minrange[..., None]) | (scan_v == 0.0)
+            in_win = offs < jnp.minimum(max_pts, BEAM_WINDOW)[..., None]
+            num_pts = jnp.sum(visible & in_win, axis=-1)
+        else:
+            num_pts = max_pts
+        num_pts = jnp.clip(num_pts, 0, K - 1)
+        pd = self.pd_table[num_pts]
+        close = jnp.where(pd == 0.0, False, close)
+        pd = jnp.where(in_limits & ~geo_zero, pd, 0.0)
+        return pd, close & in_limits
+
+    def pd_p(self, pose, mean, cov=None):
+        """Plane-layout multi-probe Pd (probabilityOfDetection, :153-199)."""
+        lx, ly, diameter = mean[0], mean[1], mean[2]
+        dx = lx - pose[..., 0]
+        dy = ly - pose[..., 1]
+        bearing = jnp.arctan2(dy, dx)
+        px, py = -jnp.sin(bearing), jnp.cos(bearing)
+
+        if cov is not None:
+            # perpendicular variance of the (x, y) block: packed idx 0,1,3
+            var_perp = px * px * cov[0] + 2.0 * px * py * cov[1] + py * py * cov[3]
+            std = jnp.maximum(3.0 * jnp.sqrt(jnp.maximum(var_perp, 0.0)), 0.2)
+        else:
+            std = jnp.full_like(diameter, 0.2)
+
+        pd_c, close_c = self._pd_single_p(pose, lx, ly, diameter)
+        pd_max, pd_min = pd_c, pd_c
+        for i in range(1, N_PROBE_PAIRS + 1):
+            probe_valid = (i - 1) * 2.0 * diameter < std
+            for sgn in (1.0, -1.0):
+                off = sgn * i * 2.0 * diameter
+                pd_i, _ = self._pd_single_p(
+                    pose, lx + off * px, ly + off * py, diameter
+                )
+                pd_i = jnp.where(probe_valid, pd_i, pd_c)
+                pd_max = jnp.maximum(pd_max, pd_i)
+                pd_min = jnp.minimum(pd_min, pd_i)
+        close = close_c | ((pd_min == 0.0) & (pd_max > 0.0))
+        return pd_max, close
+
     def inverse(self, pose, z):
         th = pose[..., 2] - jnp.pi / 2.0
         a = th + z[..., 1]

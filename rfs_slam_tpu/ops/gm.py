@@ -2,7 +2,7 @@
 
 Replaces ``GaussianMixture<Landmark>``'s dynamic vector operations
 (reference: GaussianMixture.hpp:51-534) with capacity-padded batched
-equivalents:
+equivalents over the plane-major SoA map (:mod:`rfs_slam_tpu.core.state`):
 
 * ``prune``    — weight-threshold pruning (GaussianMixture.hpp:477-521 keeps
                  Gaussians with w >= t);
@@ -24,7 +24,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from rfs_slam_tpu.core import gaussian
+from rfs_slam_tpu.core import planar
 from rfs_slam_tpu.core.state import GMState
 
 _BIG = jnp.inf
@@ -33,6 +33,24 @@ _BIG = jnp.inf
 def prune(gm: GMState, threshold) -> GMState:
     """Drop Gaussians with weight < threshold (GaussianMixture.hpp:477-521)."""
     return gm.replace(alive=gm.alive & (gm.w >= threshold))
+
+
+def take_slots(gm: GMState, idx: jax.Array) -> GMState:
+    """Per-particle slot gather: ``idx[P, K]`` -> GMState with capacity K.
+
+    Uses the one-hot multiply-reduce of :func:`planar.take_lane` — the slot
+    axis is the TPU lane axis, where real gathers are slow.
+    """
+    oh = planar.onehot(idx, gm.capacity, gm.w.dtype)        # [P, K, M]
+    take_pm = lambda a: planar.take_lane(a, oh)
+    take_pl = lambda a: planar.take_lane(a, oh[None])
+    return GMState(
+        mean=take_pl(gm.mean),
+        cov=take_pl(gm.cov),
+        w=take_pm(gm.w),
+        w_prev=take_pm(gm.w_prev),
+        alive=take_pm(gm.alive.astype(gm.w.dtype)) > 0.5,
+    )
 
 
 def compact(gm: GMState, capacity: int) -> GMState:
@@ -45,25 +63,16 @@ def compact(gm: GMState, capacity: int) -> GMState:
     """
     score = jnp.where(gm.alive, gm.w, -_BIG)
     _, idx = jax.lax.top_k(score, capacity)  # [P, capacity]
-    take = lambda a: jnp.take_along_axis(
-        a, idx.reshape(idx.shape + (1,) * (a.ndim - 2)), axis=1
-    )
-    return GMState(
-        mean=take(gm.mean),
-        cov=take(gm.cov),
-        w=jnp.take_along_axis(gm.w, idx, axis=1),
-        w_prev=jnp.take_along_axis(gm.w_prev, idx, axis=1),
-        alive=jnp.take_along_axis(gm.alive, idx, axis=1),
-    )
+    return take_slots(gm, idx)
 
 
 def append(gm: GMState, mean, cov, w, alive, capacity: int | None = None) -> GMState:
     """Append new Gaussians (w_prev = 0, GaussianMixture.hpp:267-308) and
-    re-compact to capacity."""
+    re-compact to capacity.  ``mean``: [D, P, K], ``cov``: [T, P, K] planes."""
     capacity = capacity or gm.capacity
     out = GMState(
-        mean=jnp.concatenate([gm.mean, mean], axis=1),
-        cov=jnp.concatenate([gm.cov, cov], axis=1),
+        mean=jnp.concatenate([gm.mean, mean], axis=2),
+        cov=jnp.concatenate([gm.cov, cov], axis=2),
         w=jnp.concatenate([gm.w, w], axis=1),
         w_prev=jnp.concatenate([gm.w_prev, jnp.zeros_like(w)], axis=1),
         alive=jnp.concatenate([gm.alive, alive], axis=1),
@@ -78,11 +87,13 @@ def _merge_pass(gm: GMState, t2, f_inflation):
     Mahalanobis distance of one mean under the other's covariance is within
     t^2 (the reference checks i->j then j->i; OR).
     """
-    P, M, D = gm.mean.shape
+    D = gm.dim
+    P, M = gm.w.shape
     idx = jnp.arange(M)
-    cov_inv = gaussian.inv(gm.cov)                           # [P,M,D,D]
-    diff = gm.mean[:, None, :, :] - gm.mean[:, :, None, :]   # [P,i,j,D]
-    d2_ij = jnp.einsum("pijd,pide,pije->pij", diff, cov_inv, diff)
+    cov_inv = planar.inv_sym(gm.cov, D)                      # [T,P,M]
+    # diff[d][p,i,j] = mean[d][p,j] - mean[d][p,i]
+    diff = [gm.mean[d][:, None, :] - gm.mean[d][:, :, None] for d in range(D)]
+    d2_ij = planar.quad_sym(cov_inv[:, :, :, None], diff, D)  # [P,i,j]
     d2_ji = jnp.swapaxes(d2_ij, 1, 2)
     both_alive = gm.alive[:, :, None] & gm.alive[:, None, :]
     upper = idx[None, :, None] < idx[None, None, :]
@@ -97,25 +108,32 @@ def _merge_pass(gm: GMState, t2, f_inflation):
     has_pair = j_star < M
     j_safe = jnp.where(has_pair, j_star, 0)
 
-    take_j = lambda a: jnp.take_along_axis(
-        a, j_safe.reshape(j_safe.shape + (1,) * (a.ndim - 2)), axis=1
-    )
-    w1, w2 = gm.w, jnp.take_along_axis(gm.w, j_safe, axis=1)
+    take_pm = lambda a: jnp.take_along_axis(a, j_safe, axis=1)
+    take_pl = lambda a: jnp.take_along_axis(a, j_safe[None], axis=2)
+    w1, w2 = gm.w, take_pm(gm.w)
     wm = w1 + w2
     ok = has_pair & (wm != 0)
-    x1, x2 = gm.mean, take_j(gm.mean)
-    S1, S2 = gm.cov, take_j(gm.cov)
-    xm = (x1 * w1[..., None] + x2 * w2[..., None]) / wm[..., None]
-    d1 = xm - x1
-    d2 = xm - x2
-    outer = lambda v: v[..., :, None] * v[..., None, :]
-    Sm = (
-        w1[..., None, None] * (S1 + f_inflation * outer(d1))
-        + w2[..., None, None] * (S2 + f_inflation * outer(d2))
-    ) / wm[..., None, None]
+    x2 = take_pl(gm.mean)                                      # [D,P,M]
+    S2 = take_pl(gm.cov)                                       # [T,P,M]
+    w1n = w1[None] / wm[None]
+    w2n = w2[None] / wm[None]
+    xm = gm.mean * w1n + x2 * w2n                              # [D,P,M]
+    d1 = [xm[d] - gm.mean[d] for d in range(D)]
+    d2v = [xm[d] - x2[d] for d in range(D)]
+    # Sm = (w1 (S1 + f d1 d1^T) + w2 (S2 + f d2 d2^T)) / wm
+    sm = []
+    for i in range(D):
+        for j in range(i, D):
+            k = planar.tri_index(i, j, D)
+            sm.append(
+                w1n[0] * (gm.cov[k] + f_inflation * d1[i] * d1[j])
+                + w2n[0] * (S2[k] + f_inflation * d2v[i] * d2v[j])
+            )
+    Sm = jnp.stack(sm, axis=0)
 
-    new_mean = jnp.where(ok[..., None], xm, gm.mean)
-    new_cov = jnp.where(ok[..., None, None], Sm, gm.cov)
+    okD = ok[None]
+    new_mean = jnp.where(okD, xm, gm.mean)
+    new_cov = jnp.where(okD, Sm, gm.cov)
     new_w = jnp.where(ok, wm, gm.w)
     new_w_prev = jnp.where(ok, 0.0, gm.w_prev)
     # kill merged-away j slots
@@ -162,7 +180,6 @@ def merge(gm: GMState, threshold, f_inflation, max_passes: int = 8,
         g, n = _merge_pass(g, t2, f_inflation)
         return g, n, it + 1
 
-    g, n0, it = _merge_pass(gm, t2, f_inflation), None, None
-    gm1, n1 = g
+    gm1, n1 = _merge_pass(gm, t2, f_inflation)
     out, _, _ = jax.lax.while_loop(cond, body, (gm1, n1, jnp.int32(1)))
     return out

@@ -120,17 +120,18 @@ def _merge_kernel(t2_ref, infl_ref, max_pass_ref,
 def merge2d(gm: GMState, threshold, f_inflation, max_passes: int = 8,
             block: int = 8, interpret: bool = False) -> GMState:
     """Pallas merge for D=2 mixtures; semantics match ops/gm.py merge."""
-    P, N, D = gm.mean.shape
+    D = gm.dim
+    P, N = gm.w.shape
     assert D == 2, "merge2d requires 2-D landmarks"
     pad_p = (-P) % block
     def pad(a):
         return jnp.pad(a, ((0, pad_p),) + ((0, 0),) * (a.ndim - 1))
 
-    mx = pad(gm.mean[..., 0])
-    my = pad(gm.mean[..., 1])
-    p00 = pad(gm.cov[..., 0, 0])
-    p01 = pad(gm.cov[..., 0, 1])
-    p11 = pad(gm.cov[..., 1, 1])
+    mx = pad(gm.mean[0])
+    my = pad(gm.mean[1])
+    p00 = pad(gm.cov[0])
+    p01 = pad(gm.cov[1])
+    p11 = pad(gm.cov[2])
     w = pad(gm.w)
     wp = pad(gm.w_prev)
     alive = pad(gm.alive.astype(jnp.int32))
@@ -155,9 +156,6 @@ def merge2d(gm: GMState, threshold, f_inflation, max_passes: int = 8,
         interpret=interpret,
     )(t2, infl, mp, mx, my, p00, p01, p11, w, wp, alive)
     mx, my, p00, p01, p11, w, wp, alive = [o[:P] for o in outs]
-    mean = jnp.stack([mx, my], axis=-1)
-    cov = jnp.stack(
-        [jnp.stack([p00, p01], axis=-1), jnp.stack([p01, p11], axis=-1)],
-        axis=-2,
-    )
+    mean = jnp.stack([mx, my], axis=0)
+    cov = jnp.stack([p00, p01, p11], axis=0)
     return GMState(mean=mean, cov=cov, w=w, w_prev=wp, alive=alive > 0)

@@ -75,6 +75,14 @@ def gather_particles(tree, ancestors: jax.Array):
 
     The TPU equivalent of ``Particle::copy()``'s deep map copy
     (ParticleFilter.hpp:446-479): one gather covering poses and the full map
-    SoA.
+    SoA.  Containers with plane-major storage (GMState, BirthCandidates)
+    expose ``gather_p`` and are gathered along their own particle axis.
     """
-    return jax.tree_util.tree_map(lambda a: jnp.take(a, ancestors, axis=0), tree)
+    def g(a):
+        if hasattr(a, "gather_p"):
+            return a.gather_p(ancestors)
+        return jnp.take(a, ancestors, axis=0)
+
+    return jax.tree_util.tree_map(
+        g, tree, is_leaf=lambda x: hasattr(x, "gather_p")
+    )

@@ -51,16 +51,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def state_shardings(tree: Any, mesh: Mesh, n_particles: int):
-    """Per-leaf shardings: leading axis == n_particles -> shard, else replicate.
+    """Per-leaf shardings: the particle axis shards, everything else replicates.
 
-    Works for RBPHDState / FastSLAM state / plain pytrees of arrays.
+    Plane-major map arrays (``[D, P, M]`` / ``[T, P, M]``, see core.planar)
+    carry the particle axis second; everything else (poses, weights, masks)
+    carries it first.  Works for RBPHDState / FastSLAM state / plain pytrees.
     """
-    shard = particle_sharding(mesh)
+    shard0 = particle_sharding(mesh)
+    shard1 = NamedSharding(mesh, P(None, PARTICLE_AXIS))
     repl = replicated(mesh)
 
     def spec(leaf):
-        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == n_particles:
-            return shard
+        if not hasattr(leaf, "ndim"):
+            return repl
+        if leaf.ndim >= 1 and leaf.shape[0] == n_particles:
+            return shard0
+        if leaf.ndim >= 2 and leaf.shape[1] == n_particles:
+            return shard1
         return repl
 
     return jax.tree_util.tree_map(spec, tree)

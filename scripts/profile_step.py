@@ -1,0 +1,92 @@
+"""Per-phase device timing of the RB-PHD step at bench shapes (TPU).
+
+Each phase is timed inside a lax.scan (N iterations in one dispatch) so the
+number is real device time, immune to host/tunnel jitter.
+
+Not a test — a developer tool. Run: python scripts/profile_step.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rfs_slam_tpu.utils import cache
+cache.enable()
+
+import jax
+import jax.numpy as jnp
+
+import __graft_entry__ as ge
+from rfs_slam_tpu.ops import gm as gm_ops
+from rfs_slam_tpu.ops import resample as resample_ops
+from rfs_slam_tpu.ops.ekf import correct_all
+
+P, M, ZC = 200, 128, 40
+N_ITER = 100
+
+filt = ge._build(n_particles=P, map_capacity=M, z_capacity=ZC,
+                 new_capacity=64, eval_capacity=15, z_dp_max=10)
+key = jax.random.PRNGKey(0)
+state, odo, z, z_mask = ge._example_inputs(filt, key)
+z = jnp.tile(z[: ZC // 4], (4, 1))[:ZC]
+z_mask = jnp.arange(ZC) < 10
+
+
+def scan_time(name, step_fn, init_carry, n=N_ITER):
+    """Time step_fn(carry) -> carry inside one lax.scan dispatch."""
+
+    @jax.jit
+    def run(c):
+        return jax.lax.scan(lambda cc, _: (step_fn(cc), None), c, None,
+                            length=n)[0]
+
+    out = run(init_carry)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run(init_carry)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / n)
+    print(f"{name:30s} {best*1e3:8.3f} ms")
+    return out
+
+
+full_state = scan_time("predict", lambda s: filt.predict(s, odo, 0.1), state,
+                       n=20)
+scan_time("predict+update(step)",
+          lambda s: filt.update(filt.predict(s, odo, 0.1), z, z_mask),
+          state, n=20)
+
+pose = full_state.particles.pose
+gm = full_state.gm
+
+
+def wrap_gm(fn):
+    # carry the gm through the phase so scan iterations chain
+    def step(g):
+        out = fn(g)
+        return out if isinstance(out, type(g)) else g.replace(w=g.w + out)
+    return step
+
+
+scan_time("  correct_all [P,Z,M] (lik sum)",
+          wrap_gm(lambda g: jnp.sum(
+              correct_all(filt.meas, filt.gates, pose, g.mean, g.cov, z
+                          ).likelihood, axis=1) * 1e-6),
+          gm)
+scan_time("  merge(pallas)", lambda g: gm_ops.merge(g, 0.5, 1.5), gm)
+scan_time("  merge(xla)",
+          lambda g: gm_ops.merge(g, 0.5, 1.5, impl="xla"), gm)
+scan_time("  prune+compact",
+          lambda g: gm_ops.compact(gm_ops.prune(g, 0.01), M), gm)
+clutter_z = jnp.broadcast_to(filt.meas.clutter_intensity(z, 10), (ZC,))
+scan_time("  importance (via w carry)",
+          wrap_gm(lambda g: 1e-9 * filt._importance_weights(
+              full_state.particles.log_w, pose, g, z, z_mask, clutter_z, 10
+          )[:, None]),
+          gm)
+anc = jnp.arange(P, dtype=jnp.int32)[::-1]
+scan_time("  resample gather",
+          lambda g: resample_ops.gather_particles({"gm": g}, anc)["gm"], gm)

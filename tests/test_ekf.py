@@ -3,6 +3,7 @@
 import numpy as np
 import jax.numpy as jnp
 
+from rfs_slam_tpu.core import planar
 from rfs_slam_tpu.models.measurement import RangeBearing
 from rfs_slam_tpu.ops.ekf import InnovationGates, correct_all, correct_single
 
@@ -28,6 +29,10 @@ def numpy_ekf_correct(pose, lm_mean, lm_cov, z, R):
     return m, P, lik, md2
 
 
+def pack2(S):
+    return np.array([S[0, 0], S[0, 1], S[1, 1]])
+
+
 def test_correct_single_matches_numpy(rng):
     model = RangeBearing(R=jnp.asarray(np.eye(2) * 0.01, jnp.float32))
     gates = InnovationGates.range_bearing()
@@ -38,12 +43,12 @@ def test_correct_single_matches_numpy(rng):
 
     m, P, lik, md2, valid = correct_single(
         model, gates, jnp.asarray(pose), jnp.asarray(lm_mean),
-        jnp.asarray(lm_cov), jnp.asarray(z)
+        planar.pack_sym(jnp.asarray(lm_cov)), jnp.asarray(z)
     )
     m_np, P_np, lik_np, md2_np = numpy_ekf_correct(pose, lm_mean, lm_cov, z, np.eye(2) * 0.01)
     assert bool(valid)
     np.testing.assert_allclose(np.asarray(m), m_np, rtol=2e-3, atol=1e-3)
-    np.testing.assert_allclose(np.asarray(P), P_np, rtol=3e-2, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(P), pack2(P_np), rtol=3e-2, atol=2e-4)
     np.testing.assert_allclose(float(lik), lik_np, rtol=1e-2)
     np.testing.assert_allclose(float(md2), md2_np, rtol=1e-2, atol=1e-3)
 
@@ -59,23 +64,28 @@ def test_correct_all_matches_single(rng):
     z = rng.normal(size=(Z_, 2)).astype(np.float32)
     z[:, 0] = np.abs(z[:, 0]) + 3
 
-    out = correct_all(model, gates, jnp.asarray(poses), jnp.asarray(lm_mean),
-                      jnp.asarray(lm_cov), jnp.asarray(z))
+    out = correct_all(
+        model, gates, jnp.asarray(poses),
+        planar.pack_vec(jnp.asarray(lm_mean)),
+        planar.pack_sym(jnp.asarray(lm_cov)), jnp.asarray(z))
     for p in range(P_):
         for m in range(M_):
             for k in range(Z_):
                 m1, P1, lik1, md21, v1 = correct_single(
-                    model, gates, jnp.asarray(poses[p]), jnp.asarray(lm_mean[p, m]),
-                    jnp.asarray(lm_cov[p, m]), jnp.asarray(z[k])
+                    model, gates, jnp.asarray(poses[p]),
+                    jnp.asarray(lm_mean[p, m]),
+                    planar.pack_sym(jnp.asarray(lm_cov[p, m])),
+                    jnp.asarray(z[k])
                 )
                 np.testing.assert_allclose(
-                    np.asarray(out.mean_upd[p, m, k]), np.asarray(m1), rtol=2e-2, atol=2e-2
+                    np.asarray(out.mean_upd[:, p, k, m]), np.asarray(m1),
+                    rtol=2e-2, atol=2e-2
                 )
                 np.testing.assert_allclose(
-                    float(out.likelihood[p, m, k]), float(lik1), rtol=5e-2, atol=1e-5
+                    float(out.likelihood[p, k, m]), float(lik1), rtol=5e-2, atol=1e-5
                 )
             np.testing.assert_allclose(
-                np.asarray(out.cov_upd[p, m]),
+                np.asarray(out.cov_upd[:, p, m]),
                 np.asarray(P1), rtol=5e-2, atol=1e-3
             )
 

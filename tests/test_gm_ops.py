@@ -20,8 +20,9 @@ def make_gm(means, covs, ws, capacity=8):
         cov[0, i] = c
         w[0, i] = wi
         alive[0, i] = True
-    return GMState(jnp.asarray(mean), jnp.asarray(cov), jnp.asarray(w),
-                   jnp.asarray(w), jnp.asarray(alive))
+    return GMState.from_dense(jnp.asarray(mean), jnp.asarray(cov),
+                              jnp.asarray(w), jnp.asarray(w),
+                              jnp.asarray(alive))
 
 
 def test_prune_keeps_geq_threshold():
@@ -34,7 +35,7 @@ def test_compact_sorts_by_weight():
     g = make_gm([[0, 0], [1, 1], [2, 2]], [np.eye(2)] * 3, [0.1, 0.9, 0.5])
     out = gm_ops.compact(g, 2)
     np.testing.assert_allclose(np.asarray(out.w[0]), [0.9, 0.5])
-    np.testing.assert_allclose(np.asarray(out.mean[0, 0]), [1, 1])
+    np.testing.assert_allclose(np.asarray(out.mean_dense[0, 0]), [1, 1])
     assert bool(np.all(np.asarray(out.alive[0])))
 
 
@@ -48,12 +49,12 @@ def test_merge_moment_match():
     i = int(np.argmax(alive))
     w = float(out.w[0, i])
     np.testing.assert_allclose(w, 1.0, rtol=1e-5)
-    xm = np.asarray(out.mean[0, i])
+    xm = np.asarray(out.mean_dense[0, i])
     np.testing.assert_allclose(xm, [0.08, 0.0], atol=1e-6)
     d1 = xm - np.array([0.0, 0.0])
     d2 = xm - np.array([0.2, 0.0])
     Sm = (0.6 * (S + 1.5 * np.outer(d1, d1)) + 0.4 * (S + 1.5 * np.outer(d2, d2)))
-    np.testing.assert_allclose(np.asarray(out.cov[0, i]), Sm, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.cov_dense[0, i]), Sm, rtol=1e-4)
     assert float(out.w_prev[0, i]) == 0.0
 
 
@@ -75,8 +76,9 @@ def test_merge_chain_converges():
 
 def test_append_compacts():
     g = make_gm([[0, 0]], [np.eye(2)], [0.5], capacity=2)
-    new_mean = jnp.asarray([[[3.0, 3.0], [4.0, 4.0]]])
-    new_cov = jnp.broadcast_to(jnp.eye(2), (1, 2, 2, 2))
+    from rfs_slam_tpu.core import planar
+    new_mean = planar.pack_vec(jnp.asarray([[[3.0, 3.0], [4.0, 4.0]]]))
+    new_cov = planar.pack_sym(jnp.broadcast_to(jnp.eye(2), (1, 2, 2, 2)))
     new_w = jnp.asarray([[0.8, 0.1]])
     new_alive = jnp.asarray([[True, True]])
     out = gm_ops.append(g, new_mean, new_cov, new_w, new_alive)

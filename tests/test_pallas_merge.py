@@ -15,8 +15,9 @@ def random_gm(rng, P=4, N=128, n_alive=20):
     w = rng.uniform(0.1, 1.0, size=(P, N)).astype(np.float32)
     alive = np.zeros((P, N), bool)
     alive[:, :n_alive] = True
-    return GMState(jnp.asarray(mean), jnp.asarray(cov), jnp.asarray(w),
-                   jnp.asarray(w * 0.5), jnp.asarray(alive))
+    return GMState.from_dense(jnp.asarray(mean), jnp.asarray(cov),
+                              jnp.asarray(w), jnp.asarray(w * 0.5),
+                              jnp.asarray(alive))
 
 
 def test_pallas_merge_matches_jax(rng):
@@ -27,9 +28,9 @@ def test_pallas_merge_matches_jax(rng):
     a = np.asarray(ref.alive)
     np.testing.assert_allclose(np.asarray(out.w)[a], np.asarray(ref.w)[a],
                                rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(out.mean)[a], np.asarray(ref.mean)[a],
+    np.testing.assert_allclose(np.asarray(out.mean)[:, a], np.asarray(ref.mean)[:, a],
                                rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(out.cov)[a], np.asarray(ref.cov)[a],
+    np.testing.assert_allclose(np.asarray(out.cov)[:, a], np.asarray(ref.cov)[:, a],
                                rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out.w_prev)[a],
                                np.asarray(ref.w_prev)[a], rtol=1e-5)

@@ -24,7 +24,7 @@ def test_mesh_and_shardings():
         state, _, _, _ = g._example_inputs(filt, jax.random.PRNGKey(0))
     shardings = mesh_lib.state_shardings(state, mesh, 8)
     # particle-axis arrays shard, scalars/z replicate
-    assert shardings.gm.mean.spec == jax.sharding.PartitionSpec("particles")
+    assert shardings.gm.mean.spec == jax.sharding.PartitionSpec(None, "particles")
     assert shardings.last_z.spec == jax.sharding.PartitionSpec()
     assert shardings.n_updates.spec == jax.sharding.PartitionSpec()
 
