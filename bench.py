@@ -22,8 +22,10 @@ import sys
 import time
 
 from rfs_slam_tpu.utils import cache
+from rfs_slam_tpu.utils.warmup import warm_transfers
 
 cache.enable()
+warm_transfers()
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -47,14 +49,14 @@ def build():
                           z_capacity=Z_CAPACITY)
     dt = sim_cfg.dt
     motion = Odometry2D(
-        Q=jnp.diag(jnp.asarray([sim_cfg.vardx, sim_cfg.vardy, sim_cfg.vardz]))
+        Q=np.diag(np.asarray([sim_cfg.vardx, sim_cfg.vardy, sim_cfg.vardz]))
         * (1.5 * dt * dt)
     )
     lmk = StaticLandmark(
-        Q=jnp.diag(jnp.asarray([sim_cfg.varlmx, sim_cfg.varlmy])) * dt * dt
+        Q=np.diag(np.asarray([sim_cfg.varlmx, sim_cfg.varlmy])) * dt * dt
     )
     meas = RangeBearing(
-        R=jnp.diag(jnp.asarray([sim_cfg.varzr, sim_cfg.varzb])) * 10.0,
+        R=np.diag(np.asarray([sim_cfg.varzr, sim_cfg.varzb])) * 10.0,
         pd_const=sim_cfg.pd, clutter=sim_cfg.clutter,
         r_max=sim_cfg.range_max, r_min=sim_cfg.range_min,
         r_buf=sim_cfg.range_buffer,

@@ -19,8 +19,10 @@ import os
 import time
 
 from rfs_slam_tpu.utils import cache
+from rfs_slam_tpu.utils.warmup import warm_transfers
 
 cache.enable()
+warm_transfers()
 
 import jax
 import jax.numpy as jnp
@@ -44,14 +46,14 @@ def build_filter_from_xml(cfg: XmlConfig, sim_cfg: sim2d.Sim2DConfig,
     z_infl = cfg.get("filter.update.measurementNoiseInflationFactor", 1.0)
 
     motion = Odometry2D(
-        Q=jnp.diag(jnp.asarray([sim_cfg.vardx, sim_cfg.vardy, sim_cfg.vardz]))
+        Q=np.diag(np.asarray([sim_cfg.vardx, sim_cfg.vardy, sim_cfg.vardz]))
         * (p_infl * dt * dt)
     )
     lmk = StaticLandmark(
-        Q=jnp.diag(jnp.asarray([sim_cfg.varlmx, sim_cfg.varlmy])) * (dt * dt)
+        Q=np.diag(np.asarray([sim_cfg.varlmx, sim_cfg.varlmy])) * (dt * dt)
     )
     meas = RangeBearing(
-        R=jnp.diag(jnp.asarray([sim_cfg.varzr, sim_cfg.varzb])) * z_infl,
+        R=np.diag(np.asarray([sim_cfg.varzr, sim_cfg.varzb])) * z_infl,
         pd_const=sim_cfg.pd, clutter=sim_cfg.clutter,
         r_max=sim_cfg.range_max, r_min=sim_cfg.range_min,
         r_buf=sim_cfg.range_buffer,

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from rfs_slam_tpu.core import gaussian
@@ -62,7 +63,7 @@ class VictoriaPark(struct.PyTreeNode):
     buffer_pd: jax.Array = struct.field(default=0.4)
     expected_clutter: jax.Array = struct.field(default=3.0)
     clutter_value: jax.Array = struct.field(default=1e-4)
-    scan720: jax.Array = struct.field(default_factory=lambda: jnp.zeros((720,)))
+    scan720: jax.Array = struct.field(default_factory=lambda: np.zeros((720,), np.float32))
     has_scan: bool = struct.field(pytree_node=False, default=False)
 
     # ------------------------------------------------------------- measure
@@ -149,6 +150,7 @@ class VictoriaPark(struct.PyTreeNode):
     def _pd_single_p(self, pose, lx, ly, diameter):
         """Plane-layout probabilityOfDetection2 (:202-265)."""
         K = self.pd_table.shape[0]
+        pd_table = jnp.asarray(self.pd_table)
         th = pose[..., 2] - jnp.pi / 2.0
         dx = lx - pose[..., 0]
         dy = ly - pose[..., 1]
@@ -163,15 +165,15 @@ class VictoriaPark(struct.PyTreeNode):
         gamma = jnp.arctan(radius / rng)
         max_pts = jnp.floor(2.0 * gamma * 720.0 / (2.0 * jnp.pi)).astype(jnp.int32)
         max_pts_c = jnp.clip(max_pts, 0, K - 1)
-        geo_zero = (max_pts < K) & (self.pd_table[max_pts_c] == 0.0)
-        close = (max_pts < K) & (self.pd_table[max_pts_c] < self.buffer_pd)
+        geo_zero = (max_pts < K) & (pd_table[max_pts_c] == 0.0)
+        close = (max_pts < K) & (pd_table[max_pts_c] < self.buffer_pd)
 
         if self.has_scan:
             minb = jnp.ceil((ang - gamma) * 720.0 / (2.0 * jnp.pi)).astype(jnp.int32)
             minb = jnp.mod(minb, 720)
             offs = jnp.arange(BEAM_WINDOW)
             bins = jnp.mod(minb[..., None] + offs, 720)
-            scan_v = self.scan720[bins]
+            scan_v = jnp.asarray(self.scan720)[bins]
             minrange = rng - radius - 6.0 * 0.03
             visible = (scan_v > minrange[..., None]) | (scan_v == 0.0)
             in_win = offs < jnp.minimum(max_pts, BEAM_WINDOW)[..., None]
@@ -179,7 +181,7 @@ class VictoriaPark(struct.PyTreeNode):
         else:
             num_pts = max_pts
         num_pts = jnp.clip(num_pts, 0, K - 1)
-        pd = self.pd_table[num_pts]
+        pd = pd_table[num_pts]
         close = jnp.where(pd == 0.0, False, close)
         pd = jnp.where(in_limits & ~geo_zero, pd, 0.0)
         return pd, close & in_limits
@@ -242,6 +244,7 @@ class VictoriaPark(struct.PyTreeNode):
         Returns (pd, close, in_window_zero) — all shaped like ``diameter``.
         """
         K = self.pd_table.shape[0]
+        pd_table = jnp.asarray(self.pd_table)
         th = pose[..., 2] - jnp.pi / 2.0
         dx = xy[..., 0] - pose[..., 0]
         dy = xy[..., 1] - pose[..., 1]
@@ -257,15 +260,15 @@ class VictoriaPark(struct.PyTreeNode):
         max_pts = jnp.floor(2.0 * gamma * 720.0 / (2.0 * jnp.pi)).astype(jnp.int32)
         max_pts_c = jnp.clip(max_pts, 0, K - 1)
         # if even the max beam count maps to Pd 0, detection is impossible
-        geo_zero = (max_pts < K) & (self.pd_table[max_pts_c] == 0.0)
-        close = (max_pts < K) & (self.pd_table[max_pts_c] < self.buffer_pd)
+        geo_zero = (max_pts < K) & (pd_table[max_pts_c] == 0.0)
+        close = (max_pts < K) & (pd_table[max_pts_c] < self.buffer_pd)
 
         if self.has_scan:
             minb = jnp.ceil((ang - gamma) * 720.0 / (2.0 * jnp.pi)).astype(jnp.int32)
             minb = jnp.mod(minb, 720)
             offs = jnp.arange(BEAM_WINDOW)
             bins = jnp.mod(minb[..., None] + offs, 720)
-            scan_v = self.scan720[bins]
+            scan_v = jnp.asarray(self.scan720)[bins]
             minrange = rng - radius - 6.0 * 0.03
             visible = (scan_v > minrange[..., None]) | (scan_v == 0.0)
             in_win = offs < jnp.minimum(max_pts, BEAM_WINDOW)[..., None]
@@ -273,7 +276,7 @@ class VictoriaPark(struct.PyTreeNode):
         else:
             num_pts = max_pts
         num_pts = jnp.clip(num_pts, 0, K - 1)
-        pd = self.pd_table[num_pts]
+        pd = pd_table[num_pts]
         close = jnp.where(pd == 0.0, False, close)
         pd = jnp.where(in_limits & ~geo_zero, pd, 0.0)
         return pd, close & in_limits

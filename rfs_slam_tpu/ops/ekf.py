@@ -29,6 +29,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from rfs_slam_tpu.core import gaussian, planar
@@ -48,13 +49,13 @@ class InnovationGates(struct.PyTreeNode):
     @classmethod
     def range_bearing(cls, range_t: float = -1.0, bearing_t: float = -1.0):
         """KalmanFilter_RngBrg gates (reference: KalmanFilter_RngBrg.cpp:52-65)."""
-        return cls(thresholds=jnp.array([range_t, bearing_t]), wrap_dims=(1,))
+        return cls(thresholds=np.array([range_t, bearing_t], np.float32), wrap_dims=(1,))
 
     @classmethod
     def victoria_park(cls, range_t: float = -1.0, bearing_t: float = -1.0,
                       diam_t: float = -1.0):
         """KalmanFilter_VictoriaPark gates (KalmanFilter_VictoriaPark.hpp:56-74)."""
-        return cls(thresholds=jnp.array([range_t, bearing_t, diam_t]),
+        return cls(thresholds=np.array([range_t, bearing_t, diam_t], np.float32),
                    wrap_dims=(1,))
 
     @classmethod
