@@ -45,7 +45,10 @@ def main(n_meas: int = 3, n_lmk: int = 4, k: int = 20, seed: int = 0,
               f"({n_meas + n_lmk}x{n_meas + n_lmk}):")
         print(np.array_str(c, precision=3))
 
-    sols, scores, valid = murty(jnp.asarray(c), k)
+    # setRealAssignmentBlock(nR1, nC1), as the reference example does
+    # (linearAssignment_MurtyAlgorithm.cpp:103)
+    sols, scores, valid = murty(jnp.asarray(c), k,
+                                real_rows=n_meas, real_cols=n_lmk)
     sols, scores, valid = map(np.asarray, (sols, scores, valid))
     if verbose:
         print("\nMurty k-best:")
@@ -69,7 +72,10 @@ def main(n_meas: int = 3, n_lmk: int = 4, k: int = 20, seed: int = 0,
             print(f"[{d + 1} : {s:.6f}]")
 
     got = [float(s) for s, v in zip(scores, valid) if v and s >= BIG_NEG]
-    np.testing.assert_allclose(got, bf_scores[: len(got)], rtol=1e-6)
+    # with the real-assignment-block restriction the k-best are distinct in
+    # the real block, i.e. one hypothesis per distinct score (the aug-row
+    # permutation duplicates of the raw brute-force ladder are suppressed)
+    np.testing.assert_allclose(got, distinct[: len(got)], rtol=1e-6)
     if verbose:
         print(f"\nOK: Murty top-{len(got)} matches brute force.")
     return got

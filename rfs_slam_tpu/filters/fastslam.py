@@ -40,6 +40,33 @@ from rfs_slam_tpu.ops.assignment import hungarian, murty
 from rfs_slam_tpu.ops.ekf import InnovationGates, correct_single
 
 
+def existence_log_odds_delta(pd, p_fa, prior, updated, locked):
+    """Log-odds change of a landmark's existence weight after an update pass.
+
+    Transcribes FastSLAM.hpp:599-620 exactly:
+
+    * associated + KF-updated landmark::
+
+        p(exist|Z) = ((1-Pd)*Pfa*prior + Pd*prior)
+                     / (Pfa + (1-Pfa)*Pd*prior)
+
+    * not updated (missed detection)::
+
+        p(exist|Z) = (1-Pd)*prior / ((1-prior) + (1-Pd)*prior)
+
+      unless the landmark is "locked" (w > landmarkLockWeight_), in which
+      case p = 0.5 (log-odds delta 0).
+
+    Returns ``log(p / (1-p))``.
+    """
+    p_up = ((1.0 - pd) * p_fa * prior + pd * prior) / (
+        p_fa + (1.0 - p_fa) * pd * prior
+    )
+    p_down = ((1.0 - pd) * prior) / ((1.0 - prior) + (1.0 - pd) * prior)
+    p = jnp.where(updated, p_up, jnp.where(locked, 0.5, p_down))
+    return jnp.log(p) - jnp.log1p(-p)
+
+
 @dataclasses.dataclass(frozen=True)
 class FastSLAMConfig:
     """Mirrors ``FastSLAM::Config`` (FastSLAM.hpp:109-158) + capacities."""
@@ -218,16 +245,10 @@ class FastSLAMFilter:
         nZ = jnp.sum(z_mask)
         n_clutter = meas.clutter_intensity_integral(nZ)
         p_fa = n_clutter / jnp.maximum(nZ, 1)
-        prior = cfg.existence_prior
-        pd = pd_rank
-        p_up = ((1 - pd) * p_fa * prior + pd * prior) / (
-            p_fa + (1 - p_fa) * pd * prior
-        )
-        p_down = ((1 - pd) * prior) / ((1 - prior) + (1 - pd) * prior)
         w_rank = planar.take_lane(gm.w, ohl)
         locked = w_rank > cfg.lock_weight
-        p_exist = jnp.where(updated, p_up, jnp.where(locked, 0.5, p_down))
-        dw = jnp.log(p_exist) - jnp.log1p(-p_exist)
+        dw = existence_log_odds_delta(
+            pd_rank, p_fa, cfg.existence_prior, updated, locked)
         w_new_rank = w_rank + jnp.where(row_valid, dw, 0.0)
 
         # scatter rank-space results back to landmark slots (lm_idx == M rows
@@ -364,8 +385,17 @@ class FastSLAMFilter:
         else:
             # MH: k-best hypotheses, weight split (FastSLAM.hpp:547-563);
             # hypotheses outside maxDataAssocLogLikelihoodDiff of the best
-            # collapse to the best hypothesis (weight re-merges at resample)
-            das, scores, valid = jax.vmap(lambda t: murty(t, H))(table)
+            # collapse to the best hypothesis (weight re-merges at resample).
+            # The real-assignment-block restriction (Murty::
+            # setRealAssignmentBlock, MurtyAlgorithm.cpp:126-135) keeps the k
+            # hypotheses distinct in the real nM x nZ block: without it, the
+            # floor-tied padding cells of the NMZ table would enumerate
+            # duplicate real associations and waste the hypothesis budget.
+            n_m = jnp.sum(row_valid, axis=1)
+            n_z_real = jnp.sum(z_mask)
+            das, scores, valid = jax.vmap(
+                lambda t, nr: murty(t, H, real_rows=nr, real_cols=n_z_real)
+            )(table, n_m)
             keep = valid & (scores[:, :1] - scores <= cfg.max_da_loglik_diff)
             das = jnp.where(keep[:, :, None], das, das[:, :1, :])
             n_h = jnp.sum(keep, axis=1)

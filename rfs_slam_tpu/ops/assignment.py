@@ -108,17 +108,47 @@ def hungarian(cost: jax.Array):
 hungarian_batched = jax.vmap(hungarian)
 
 
-def murty(cost: jax.Array, k: int):
+def murty(cost: jax.Array, k: int,
+          real_rows: int | None = None, real_cols: int | None = None):
     """k-best max-sum assignments by Murty partitioning.
 
     Returns ``(assignments [k, n] int32, scores [k], valid [k] bool)`` in
     descending score order.  Reference: MurtyAlgorithm.cpp:141-338 (priority
     queue of subproblems, each solved by Hungarian).  Pool is fixed at
-    ``k * n + 1`` subproblems; assignments forced below ``NEG/2`` total are
-    marked invalid (the reference stops at rank -1).
+    ``k * partition_max + 1`` subproblems; assignments forced below ``NEG/2``
+    total are marked invalid (the reference stops at rank -1).
+
+    ``real_rows``/``real_cols`` (static ints) restrict partitioning to the
+    real assignment block of a missdetection/clutter-augmented matrix
+    (``Murty::setRealAssignmentBlock``, MurtyAlgorithm.cpp:126-135, applied
+    at :181-186 and :255-262):
+
+    * children are spawned only for rows ``< real_rows`` — hypotheses differ
+      in REAL measurement-to-landmark pairings, never in how augmented
+      (missdetection/clutter) rows are arranged;
+    * banning an assignment of a row to an augmented column bans that row
+      from ALL augmented columns — augmented columns are interchangeable, so
+      forbidding only one would re-enumerate the same real association with a
+      different padding column.
+
+    Together these make the k returned hypotheses distinct in their real
+    blocks (the property MH-FastSLAM's hypothesis budget relies on,
+    FastSLAM.hpp:504-543).  Both may be static Python ints or traced int
+    scalars (per-particle in-range landmark counts are data-dependent).
     """
     n = cost.shape[-1]
-    pool = k * n + 1
+    nR = n if real_rows is None else real_rows
+    nC = n if real_cols is None else real_cols
+    static_dims = isinstance(nR, int) and isinstance(nC, int)
+    if static_dims:
+        nR, nC = min(nR, n), min(nC, n)
+        partition_bound = n - 1 if nR >= n else nR  # loop/pool sizing
+    else:
+        partition_bound = n - 1 if n > 1 else 1
+    all_cols_real = static_dims and nC >= n  # skip aug-col widening entirely
+    partition_max = jnp.where(jnp.asarray(nR) >= n, n - 1, nR)
+    nC = jnp.asarray(nC)
+    pool = k * max(partition_bound, 1) + 1
 
     # subproblem: forced[r] = col forced for row r (-1 free); banned[r, c]
     forced0 = jnp.full((pool, n), -1, jnp.int32)
@@ -168,7 +198,14 @@ def murty(cost: jax.Array, k: int):
             rows = jnp.arange(n)
             f = jnp.where((rows < r) & (f < 0), best_sol, f)
             b = banned[best].at[r, best_sol[r]].set(True)
-            child_valid = ok & (forced[best][r] < 0) & (slot < pool)
+            if not all_cols_real:
+                # banned col is augmented -> ban row r from every augmented
+                # column (MurtyAlgorithm.cpp:255-262)
+                aug = jnp.arange(n) >= nC
+                b = b.at[r].set(
+                    jnp.where((best_sol[r] >= nC) & aug, True, b[r]))
+            child_valid = (ok & (forced[best][r] < 0) & (slot < pool)
+                           & (r < partition_max))
             slot_c = jnp.minimum(slot, pool - 1)
             s, tot = solve(f, b)
             forced = forced.at[slot_c].set(
@@ -183,7 +220,8 @@ def murty(cost: jax.Array, k: int):
             return forced, banned, sols, scores, active, n_used + jnp.where(child_valid, 1, 0)
 
         forced, banned, sols, scores, active, n_used = jax.lax.fori_loop(
-            0, n, add_child, (forced, banned, sols, scores, active, n_used)
+            0, partition_bound, add_child,
+            (forced, banned, sols, scores, active, n_used)
         )
         return (forced, banned, sols, scores, active,
                 out_sols, out_scores, out_valid, n_used)

@@ -178,3 +178,59 @@ def test_permutations_lexicographic_counts_and_order():
     for p in as_tuples:
         real = [c for c in p if c < 2]
         assert len(set(real)) == len(real)
+
+
+def _real_block_pattern(sol, n_real_rows, n_real_cols):
+    """Collapse an assignment to its real-block content: for each real row,
+    the real column it maps to, or -1 for any augmented column (augmented
+    columns are interchangeable missdetection slots)."""
+    return tuple(
+        int(c) if c < n_real_cols else -1 for c in sol[:n_real_rows])
+
+
+@pytest.mark.parametrize("traced", [False, True])
+def test_murty_real_assignment_block(rng, traced):
+    """Murty::setRealAssignmentBlock parity (MurtyAlgorithm.cpp:126-135,
+    181-186, 255-262): on a missdetect/clutter-augmented table the k-best
+    hypotheses must be distinct IN THE REAL BLOCK, and their scores must
+    match brute force reduced to distinct real-block patterns."""
+    n, nR, nC, k = 5, 3, 2, 6
+    floor = -20.0
+    cost = np.full((n, n), floor, np.float32)
+    cost[:nR, :nC] = rng.normal(size=(nR, nC)).astype(np.float32) * 2
+
+    if traced:
+        sols, scores, valid = jax.jit(
+            lambda c, r, cc: murty(c, k, real_rows=r, real_cols=cc)
+        )(jnp.asarray(cost), jnp.int32(nR), jnp.int32(nC))
+    else:
+        sols, scores, valid = murty(jnp.asarray(cost), k,
+                                    real_rows=nR, real_cols=nC)
+    sols, scores, valid = map(np.asarray, (sols, scores, valid))
+
+    # brute force: best score per distinct real-block pattern
+    perms, bf_scores = brute_force_assignments(cost)
+    best_by_pattern = {}
+    for p, s in zip(perms, bf_scores):
+        pat = _real_block_pattern(p, nR, nC)
+        if pat not in best_by_pattern or s > best_by_pattern[pat]:
+            best_by_pattern[pat] = s
+    expected = sorted(best_by_pattern.values(), reverse=True)[:k]
+
+    got_patterns = [
+        _real_block_pattern(sols[i], nR, nC) for i in range(k) if valid[i]]
+    assert len(got_patterns) == len(set(got_patterns)), (
+        "duplicate real-block hypotheses")
+    assert valid.sum() == min(k, len(best_by_pattern))
+    np.testing.assert_allclose(
+        scores[valid], expected[: int(valid.sum())], rtol=1e-4)
+
+
+def test_murty_real_block_full_dims_matches_unrestricted(rng):
+    """real_rows=real_cols=n must behave exactly like plain murty."""
+    n, k = 4, 5
+    cost = rng.normal(size=(n, n)).astype(np.float32)
+    s0 = murty(jnp.asarray(cost), k)
+    s1 = murty(jnp.asarray(cost), k, real_rows=n, real_cols=n)
+    for a, b in zip(s0, s1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -92,3 +92,41 @@ def test_mh_fastslam_runs(short_sim):
     assert np.median(err[150:]) < 1.0
     # particle count stays fixed at n_particles after every update
     assert state.particles.pose.shape[0] == 8
+
+
+def test_existence_log_odds_hand_computed():
+    """Pin the existence-probability update to hand-evaluated values of the
+    reference formulas (FastSLAM.hpp:599-620)."""
+    import math
+
+    from rfs_slam_tpu.filters.fastslam import existence_log_odds_delta
+
+    pd, p_fa, prior = 0.7, 0.5, 0.5
+    # updated: p = ((1-Pd)*Pfa*prior + Pd*prior) / (Pfa + (1-Pfa)*Pd*prior)
+    #            = (0.3*0.25 + 0.35) / (0.5 + 0.175) = 0.425/0.675
+    p_up = 0.425 / 0.675
+    dw = existence_log_odds_delta(pd, p_fa, prior, updated=True, locked=False)
+    np.testing.assert_allclose(
+        float(dw), math.log(p_up / (1 - p_up)), rtol=1e-6)
+
+    # missed: p = (1-Pd)*prior / ((1-prior) + (1-Pd)*prior) = 0.15/0.65
+    p_down = 0.15 / 0.65
+    dw = existence_log_odds_delta(pd, p_fa, prior, updated=False, locked=False)
+    np.testing.assert_allclose(
+        float(dw), math.log(p_down / (1 - p_down)), rtol=1e-6)
+
+    # locked landmark missed: p = 0.5 -> delta exactly 0
+    dw = existence_log_odds_delta(pd, p_fa, prior, updated=False, locked=True)
+    np.testing.assert_allclose(float(dw), 0.0, atol=1e-7)
+
+    # Pd = 0 (out of range): both branches give delta 0 / 0-ish sanity
+    dw = existence_log_odds_delta(0.0, p_fa, prior, updated=False,
+                                  locked=False)
+    np.testing.assert_allclose(float(dw), 0.0, atol=1e-6)
+
+    # second hand-computed point: pd=0.9, p_fa=0.2, prior=0.6
+    pd, p_fa, prior = 0.9, 0.2, 0.6
+    p_up = (0.1 * 0.2 * 0.6 + 0.9 * 0.6) / (0.2 + 0.8 * 0.9 * 0.6)
+    dw = existence_log_odds_delta(pd, p_fa, prior, updated=True, locked=False)
+    np.testing.assert_allclose(
+        float(dw), math.log(p_up / (1 - p_up)), rtol=1e-6)
