@@ -21,14 +21,17 @@ import os
 import time
 
 from rfs_slam_tpu.utils import cache
+from rfs_slam_tpu.utils.warmup import warm_transfers
 
 cache.enable()
+warm_transfers()
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from rfs_slam_tpu.filters.rbphd import RBPHDConfig, RBPHDFilter
+from rfs_slam_tpu.apps import _vp_common
 from rfs_slam_tpu.io import logs
 from rfs_slam_tpu.io import victoria_park as vp_io
 from rfs_slam_tpu.io.xmlconfig import XmlConfig
@@ -48,18 +51,18 @@ def build(cfg: XmlConfig, z_capacity: int, map_capacity: int,
         cfg.get("process.AckermanModel.sensorOffset_x", 3.78),
         cfg.get("process.AckermanModel.sensorOffset_y", 0.5),
     )
-    motion = Ackerman2D(Q=jnp.zeros((3, 3)), h=ack[0], l=ack[1],
+    motion = Ackerman2D(Q=np.zeros((3, 3), np.float32), h=ack[0], l=ack[1],
                         dx=ack[2], dy=ack[3])
-    input_cov = jnp.diag(jnp.asarray([
+    input_cov = np.diag(np.asarray([
         cfg.get("process.varuv", 0.2), cfg.get("process.varur", 0.025)]))
     lmk = StaticLandmark(
-        Q=jnp.diag(jnp.asarray([
+        Q=np.diag(np.asarray([
             cfg.get("landmarks.varlmx", 5e-4),
             cfg.get("landmarks.varlmy", 5e-4),
             cfg.get("landmarks.varlmd", 1e-4)])),
         per_dt2=True,
     )
-    R = jnp.diag(jnp.asarray([
+    R = np.diag(np.asarray([
         cfg.get("measurements.varzr", 0.025),
         cfg.get("measurements.varzb", 2.5e-5),
         cfg.get("measurements.varzd", 2e-3)])) * z_infl
@@ -70,8 +73,8 @@ def build(cfg: XmlConfig, z_capacity: int, map_capacity: int,
     expected_clutter = cfg.get("measurements.expectedNClutter", 3.0)
     meas = VictoriaPark(
         R=R,
-        slb=jnp.asarray(cfg.get("measurements.varza", 1e-5)),
-        pd_table=jnp.asarray(cfg.get_list("measurements.Pd", "value")),
+        slb=np.asarray(cfg.get("measurements.varza", 1e-5)),
+        pd_table=np.asarray(cfg.get_list("measurements.Pd", "value")),
         r_max=r_max, r_min=r_min, b_max=b_max, b_min=b_min,
         buffer_pd=cfg.get("measurements.bufferZonePd", 0.4),
         expected_clutter=expected_clutter,
@@ -79,7 +82,7 @@ def build(cfg: XmlConfig, z_capacity: int, map_capacity: int,
                                        b_min, b_max),
     )
     gates = InnovationGates(
-        thresholds=jnp.asarray([
+        thresholds=np.asarray([
             cfg.get("filter.update.KalmanFilter.innovationThreshold.range", -1.0),
             cfg.get("filter.update.KalmanFilter.innovationThreshold.bearing", -1.0),
             -1.0,
@@ -120,7 +123,19 @@ def build(cfg: XmlConfig, z_capacity: int, map_capacity: int,
 
 
 def run(filt: RBPHDFilter, input_cov, frames: vp_io.VPFrames,
-        artificial_clutter: float = 0.0, seed: int = 0):
+        artificial_clutter: float = 0.0, seed: int = 0,
+        ckpt_dir: str | None = None, ckpt_every: int = 0,
+        resume: bool = False):
+    """Run the filter over the frame stream as chunked device scans.
+
+    ``ckpt_every`` > 0 splits the run into chunks of that many lidar frames;
+    after each chunk the filter state is snapshotted (utils/checkpoint.py)
+    and the chunk's per-frame outputs are persisted, so ``resume=True``
+    continues an interrupted run bit-identically (chunking does not change
+    the math: the RNG key lives in the state).  The reference has no
+    checkpointing (SURVEY.md section 5) — a 69.9k-message run restarts from
+    scratch there.
+    """
     cfg = filt.cfg
     F, K = frames.pred_dt.shape
 
@@ -173,28 +188,27 @@ def run(filt: RBPHDFilter, input_cov, frames: vp_io.VPFrames,
             [gm.cov[0, best], gm.cov[1, best], gm.cov[3, best]], axis=-1)
         out = (state.particles.pose, w, best,
                jnp.stack([gm.mean[0, best], gm.mean[1, best]], axis=-1),
-               cov_packed, gm.w[best], gm.alive[best])
+               cov_packed, gm.w[best], gm.alive[best],
+               state.particles.parent)
         return state, out
 
-    inputs = [
-        jnp.asarray(frames.pred_dt, jnp.float32),
-        jnp.asarray(frames.pred_u, jnp.float32),
-        jnp.asarray(frames.pred_noise),
-        jnp.asarray(z, jnp.float32),
-        jnp.asarray(z_mask),
+    inputs_np = [
+        np.asarray(frames.pred_dt, np.float32),
+        np.asarray(frames.pred_u, np.float32),
+        np.asarray(frames.pred_noise),
+        np.asarray(z, np.float32),
+        np.asarray(z_mask),
     ]
     if has_scan:
-        inputs.append(jnp.asarray(frames.scans, jnp.float32))
+        inputs_np.append(np.asarray(frames.scans, np.float32))
 
     @jax.jit
     def scan_all(state, inputs):
         return jax.lax.scan(frame_step, state, tuple(inputs))
 
-    t0 = time.time()
-    state, outs = scan_all(state, inputs)
-    jax.block_until_ready(outs)
-    wall = time.time() - t0
-    return state, jax.tree_util.tree_map(np.asarray, outs), wall
+    return _vp_common.chunked_scan(
+        scan_all, state, inputs_np, ckpt_dir=ckpt_dir,
+        ckpt_every=ckpt_every, resume=resume)
 
 
 def gps_rmse(times, best_poses, gps):
@@ -218,6 +232,7 @@ def main(argv=None):
     ap.add_argument("--particles", type=int, default=None)
     ap.add_argument("--map-capacity", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
+    _vp_common.add_ckpt_args(ap)
     args = ap.parse_args(argv)
 
     cfg = XmlConfig(args.cfg)
@@ -234,15 +249,25 @@ def main(argv=None):
           f"device={jax.devices()[0]}")
 
     clutter_added = cfg.get("measurements.addedClutter", 0.0)
+    if args.ckpt_dir:
+        os.makedirs(args.ckpt_dir, exist_ok=True)
     state, outs, wall = run(filt, input_cov, frames,
-                            artificial_clutter=clutter_added, seed=args.seed)
-    poses, weights, best, gm_mean, gm_cov, gm_w, gm_alive = outs
+                            artificial_clutter=clutter_added, seed=args.seed,
+                            ckpt_dir=args.ckpt_dir,
+                            ckpt_every=args.ckpt_every, resume=args.resume)
+    poses, weights, best, gm_mean, gm_cov, gm_w, gm_alive, parents = outs
     print(f"done: {F} frames in {wall:.1f}s ({F / wall:.1f} frames/s incl. compile)")
 
-    best_poses = poses[np.arange(F), best]
+    # the reference logs the FINAL best particle's consistent history via the
+    # Trajectory prev-chain (rbphdslam_VictoriaPark.cpp:631-660); reconstruct
+    # it from the recorded resampling ancestry.
+    best_poses = logs.ancestral_path(poses, parents, best[-1])
     rmse = gps_rmse(frames.t, best_poses, frames.gps)
+    stepwise = poses[np.arange(F), best]
+    rmse_stepwise = gps_rmse(frames.t, stepwise, frames.gps)
     dr_rmse = gps_rmse(frames.t, frames.dr_pose, frames.gps)
-    print(f"trajectory RMSE vs GPS: {rmse:.2f} m  (dead reckoning: {dr_rmse:.2f} m)")
+    print(f"trajectory RMSE vs GPS: {rmse:.2f} m  (per-step argmax: "
+          f"{rmse_stepwise:.2f} m, dead reckoning: {dr_rmse:.2f} m)")
 
     logdir = args.logdir or cfg.get("logging.logDirPrefix",
                                     "data/VictoriaPark/rbphdslam/results/", str)

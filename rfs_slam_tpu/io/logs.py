@@ -133,6 +133,38 @@ def write_trajectory(logdir: str, times, poses) -> None:
             f.write("%f   %f   %f   %f\n" % (times[k], *poses[k]))
 
 
+def ancestral_path(poses, parents, final_idx):
+    """Best-particle trajectory via the resampling ancestry chain.
+
+    The reference extracts the final best particle's *consistent* history by
+    walking the ``Trajectory`` prev-chain (rbphdslam_VictoriaPark.cpp:631-660,
+    Trajectory.hpp:39-58).  Here ``parents[k]`` is the per-step ancestor map
+    recorded by the filter (identity when no resample happened at step k), so
+    the same chain is a backward index walk:
+
+        idx_{k} = parents[k+1][idx_{k+1}]
+
+    Args:
+      poses: [T, P, 3] per-step post-update particle poses.
+      parents: [T, P] int ancestor indices (into step k-1's particle array).
+      final_idx: index of the particle whose history to extract (the
+        highest-weight particle at the final step).
+
+    Returns:
+      [T, 3] the particle's consistent pose history.
+    """
+    poses = np.asarray(poses)
+    parents = np.asarray(parents)
+    T = poses.shape[0]
+    out = np.zeros((T, poses.shape[2]), poses.dtype)
+    idx = int(final_idx)
+    out[T - 1] = poses[T - 1, idx]
+    for k in range(T - 2, -1, -1):
+        idx = int(parents[k + 1, idx])
+        out[k] = poses[k, idx]
+    return out
+
+
 def write_timing(logdir: str, timing: dict) -> None:
     """timing.dat: phase wall_ns cpu_ns (rbphdslam2dSim.cpp:654-732)."""
     with _open(logdir, "timing.dat") as f:

@@ -115,3 +115,124 @@ def test_rbphd_vp_build():
     filt, input_cov, ack = build(cfg, z_capacity=8, map_capacity=32,
                                  n_particles=4)
     assert filt.cfg.n_particles == 4
+
+
+def _write_vp_dataset(d):
+    """Tiny hand-built Victoria Park event stream (reference file formats,
+    rbphdslam_VictoriaPark.cpp:199-324)."""
+    (d / "Sensors_manager.txt").write_text(
+        "1.0 2 1\n"    # Input  idx 1
+        "1.5 1 1\n"    # GPS (ignored by the filter loop)
+        "2.0 2 2\n"    # Input  idx 2
+        "2.5 3 1\n"    # Lidar  idx 1 -> frame 0
+        "3.0 2 3\n"    # Input  idx 3
+        "3.5 3 2\n"    # Lidar  idx 2 -> frame 1
+    )
+    (d / "inputs.dat").write_text(
+        "1.0 0.0 0.1\n"
+        "2.0 2.0 0.2\n"
+        "3.0 3.0 0.3\n"
+    )
+    (d / "measurements.dat").write_text(
+        "2.5 10.0 1.0 0.5\n"
+        "2.5 11.0 1.1 0.6\n"
+        "3.5 12.0 1.2 0.7\n"
+    )
+    (d / "gps.dat").write_text("1.0 0.0 0.0\n")
+
+
+def test_frame_bucketing_hand_computed(tmp_path):
+    """io/victoria_park.load vs the reference event loop hand-traced
+    (rbphdslam_VictoriaPark.cpp:471-628): Input messages record a predict
+    sub-step with the PREVIOUS held input and the PRE-update stationary flag;
+    Lidar messages close a frame; GPS messages are skipped; steering is
+    scaled by ur_scale at input-swap time."""
+    from rfs_slam_tpu.io import victoria_park as vp_io
+
+    _write_vp_dataset(tmp_path)
+    fr = vp_io.load(str(tmp_path), scale_ur=2.0, z_capacity=4)
+
+    np.testing.assert_allclose(fr.t, [2.5, 3.5])
+    assert fr.pred_dt.shape == (2, 3)  # frame 0 has 3 sub-steps -> K=3
+
+    # frame 0: Input@1.0 (dt=1.0, u=(0,0), stationary), Input@2.0 (dt=1.0,
+    # u=(0, 0.1*2), still stationary: v was 0), Lidar@2.5 (dt=0.5,
+    # u=(2.0, 0.2*2), no longer stationary)
+    np.testing.assert_allclose(fr.pred_dt[0], [1.0, 1.0, 0.5])
+    np.testing.assert_allclose(
+        fr.pred_u[0], [[0.0, 0.0], [0.0, 0.2], [2.0, 0.4]])
+    np.testing.assert_array_equal(fr.pred_noise[0], [False, False, True])
+    np.testing.assert_array_equal(fr.pred_valid[0], [True, True, True])
+
+    # frame 1: Input@3.0 (dt=0.5, u=(2.0, 0.4)), Lidar@3.5 (dt=0.5,
+    # u=(3.0, 0.6)); third slot is dt=0 padding
+    np.testing.assert_allclose(fr.pred_dt[1], [0.5, 0.5, 0.0])
+    np.testing.assert_allclose(
+        fr.pred_u[1][:2], [[2.0, 0.4], [3.0, 0.6]])
+    np.testing.assert_array_equal(fr.pred_noise[1], [True, True, False])
+    np.testing.assert_array_equal(fr.pred_valid[1], [True, True, False])
+
+    # measurements bucketed by exact scan time
+    np.testing.assert_array_equal(fr.z_mask[0], [True, True, False, False])
+    np.testing.assert_allclose(fr.z[0, 0], [10.0, 1.0, 0.5])
+    np.testing.assert_allclose(fr.z[0, 1], [11.0, 1.1, 0.6])
+    np.testing.assert_array_equal(fr.z_mask[1], [True, False, False, False])
+    np.testing.assert_allclose(fr.z[1, 0], [12.0, 1.2, 0.7])
+
+    assert fr.scans is None  # no LASER.txt in this dataset copy
+
+
+def test_frame_bucketing_message_truncation(tmp_path):
+    """nMsgToProcess semantics: only the first N sensor-manager rows are
+    consumed (rbphdslam_VictoriaPark.cpp:467-470)."""
+    from rfs_slam_tpu.io import victoria_park as vp_io
+
+    _write_vp_dataset(tmp_path)
+    fr = vp_io.load(str(tmp_path), n_messages=4, z_capacity=4)
+    np.testing.assert_allclose(fr.t, [2.5])
+    assert fr.z_mask[0].sum() == 2
+
+
+def test_checkpoint_resume_bit_identical(tmp_path):
+    """Interrupting a chunked VP run and resuming must reproduce the
+    uninterrupted run's final state and outputs exactly (the RNG key lives in
+    the filter state, so chunk boundaries don't change the math)."""
+    import dataclasses
+
+    from rfs_slam_tpu.apps import rbphdslam_victoriapark as app
+    from rfs_slam_tpu.io import victoria_park as vp_io
+    from rfs_slam_tpu.io.xmlconfig import XmlConfig
+
+    cfg = XmlConfig("/root/reference/cfg/rbphdslam_VictoriaPark.xml")
+    filt, input_cov, ack = app.build(cfg, z_capacity=24, map_capacity=32,
+                                     n_particles=4)
+    frames = vp_io.load("/root/reference/data/VictoriaPark",
+                        scale_ur=cfg.get("process.ur_scale", 1.0),
+                        z_capacity=24, n_messages=400, ackerman=ack)
+    F = len(frames.t)
+    assert F >= 8
+
+    # A: monolithic reference run
+    _, outs_a, _ = app.run(filt, input_cov, frames, seed=3)
+
+    # B: chunked run killed after the first chunk
+    half = F // 2
+    cut = dataclasses.replace(
+        frames,
+        t=frames.t[:half], pred_dt=frames.pred_dt[:half],
+        pred_u=frames.pred_u[:half], pred_noise=frames.pred_noise[:half],
+        pred_valid=frames.pred_valid[:half], z=frames.z[:half],
+        z_mask=frames.z_mask[:half], dr_pose=frames.dr_pose[:half],
+    )
+    d = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(d)
+    app.run(filt, input_cov, cut, seed=3, ckpt_dir=d, ckpt_every=half)
+
+    # C: resume to completion
+    state_c, outs_c, _ = app.run(filt, input_cov, frames, seed=3,
+                                 ckpt_dir=d, ckpt_every=half, resume=True)
+
+    for a, c in zip(outs_a, outs_c):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
