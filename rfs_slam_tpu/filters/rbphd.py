@@ -313,6 +313,36 @@ class RBPHDFilter:
     def _update_body(self, state: RBPHDState, z, z_mask, meas=None) -> RBPHDState:
         cfg = self.cfg
         meas = meas if meas is not None else self.meas
+        pose = state.particles.pose
+        nZ = jnp.sum(z_mask)
+
+        # ---------- map update (RBPHDFilter.hpp:543-725)
+        gm_full, log_w, unused, n_in_fov, clutter_z = self._map_update(
+            state, z, z_mask, meas)
+
+        # ---------- importance weighting (RBPHDFilter.hpp:728-997)
+        if not cfg.use_cluster_process:
+            log_w = self._importance_weights(
+                log_w, pose, gm_full, z, z_mask, clutter_z, nZ, meas
+            )
+
+        # ---------- merge + prune (RBPHDFilter.hpp:501-516)
+        gm_full = gm_ops.merge(gm_full, cfg.merge_threshold, cfg.merge_inflation)
+        gm_full = gm_ops.prune(gm_full, cfg.prune_threshold)
+
+        return self._resample_phase(state, gm_full, log_w, unused, n_in_fov,
+                                    z, z_mask, nZ)
+
+    def _map_update(self, state: RBPHDState, z, z_mask, meas):
+        """Map-update phase: Pd, batched EKF multi-correct, the [P, Z, M]
+        weight table with column normalization, missed-detection weights,
+        unused-measurement flags, and the new-Gaussian append
+        (RBPHDFilter.hpp:543-725 — the reference's ``mapUpdate`` /
+        ``mapUpdate_kf`` timing phases).
+
+        Returns ``(gm_full, log_w, unused, n_in_fov, clutter_z)``.
+        """
+        cfg = self.cfg
         gm = state.gm
         pose = state.particles.pose
         D = gm.dim
@@ -387,18 +417,13 @@ class RBPHDFilter:
         new_alive = top_w > 0.0
         gm_full = gm_ops.append(gm_old, new_mean, new_cov, top_w, new_alive,
                                 capacity=cfg.map_capacity)
+        return gm_full, log_w, unused, n_in_fov, clutter_z
 
-        # ---------- importance weighting (RBPHDFilter.hpp:728-997)
-        if not cfg.use_cluster_process:
-            log_w = self._importance_weights(
-                log_w, pose, gm_full, z, z_mask, clutter_z, nZ, meas
-            )
-
-        # ---------- merge + prune (RBPHDFilter.hpp:501-516)
-        gm_full = gm_ops.merge(gm_full, cfg.merge_threshold, cfg.merge_inflation)
-        gm_full = gm_ops.prune(gm_full, cfg.prune_threshold)
-
-        # ---------- resampling (RBPHDFilter.hpp:526-539)
+    def _resample_phase(self, state: RBPHDState, gm_full, log_w, unused,
+                        n_in_fov, z, z_mask, nZ) -> RBPHDState:
+        """Resampling phase (RBPHDFilter.hpp:526-539) + state assembly."""
+        cfg = self.cfg
+        pose = state.particles.pose
         key, k_rs = jax.random.split(state.particles.key)
         allow = (
             (state.n_updates + 1 >= cfg.min_updates_before_resample)

@@ -166,10 +166,21 @@ def ancestral_path(poses, parents, final_idx):
 
 
 def write_timing(logdir: str, timing: dict) -> None:
-    """timing.dat: phase wall_ns cpu_ns (rbphdslam2dSim.cpp:654-732)."""
+    """timing.dat: phase wall_ns cpu_ns (rbphdslam2dSim.cpp:654-732).
+
+    ``timing`` maps phase -> (wall_s, host_cpu_s) as produced by
+    utils.timing.PhaseTimer.report().  The cpu column is HOST process CPU
+    time (dispatch overhead) — device work shows in the wall column only;
+    a header comment in the file says so.  Legacy scalar values write the
+    wall figure to both columns.
+    """
     with _open(logdir, "timing.dat") as f:
-        for phase, wall_ns in timing.items():
-            f.write("%s   %d   %d\n" % (phase, int(wall_ns), int(wall_ns)))
+        f.write("# phase   wall_ns   host_cpu_ns "
+                "(host CPU = dispatch overhead; device time is wall)\n")
+        for phase, v in timing.items():
+            wall_s, cpu_s = v if isinstance(v, (tuple, list)) else (v, v)
+            f.write("%s   %d   %d\n" % (phase, int(wall_s * 1e9),
+                                        int(cpu_s * 1e9)))
 
 
 def read_particle_poses(path: str):

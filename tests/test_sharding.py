@@ -75,3 +75,93 @@ def test_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sharded_multistep_run_matches_single_device():
+    """A 60-step sharded sim run (with repeated resampling migrating
+    particles across shards) must match the single-device run.  The one-step
+    test above can't catch state corruption introduced by the resample
+    gather's all-to-all; this drives it repeatedly."""
+    import __graft_entry__ as g
+
+    filt = g._build(n_particles=8, map_capacity=16, z_capacity=4,
+                    new_capacity=8, eval_capacity=4, z_dp_max=4)
+    devs = cpu_devices(4)
+    T = 60
+    with jax.default_device(devs[0]):
+        state, odo, z, zm = g._example_inputs(filt, jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(7)
+        odos = jax.random.normal(key, (T, 3)) * 0.05 + odo[None]
+        zs = jnp.tile(z[None], (T, 1, 1))
+        zms = jnp.tile(zm[None], (T, 1))
+
+        def step(s, inp):
+            o, zz, zzm = inp
+            s = filt.predict(s, o, 0.1)
+            s = filt.update(s, zz, zzm)
+            return s, s.particles.parent
+
+        def run(s, inputs):
+            return jax.lax.scan(step, s, inputs)
+
+        ref, ref_parents = jax.jit(run)(state, (odos, zs, zms))
+        ref = jax.tree_util.tree_map(np.asarray, ref)
+        # the scenario must actually resample (parent != identity) repeatedly
+        n_resamples = int(np.sum(
+            np.any(np.asarray(ref_parents) != np.arange(8)[None], axis=1)))
+        assert n_resamples >= 3, f"only {n_resamples} resampling events"
+
+        mesh = mesh_lib.make_mesh(4, devices=devs)
+        shardings = mesh_lib.state_shardings(state, mesh, 8)
+        repl = mesh_lib.replicated(mesh)
+        s_sh = jax.tree_util.tree_map(jax.device_put, state, shardings)
+        inp_sh = jax.device_put((odos, zs, zms), repl)
+        sharded, _ = jax.jit(
+            run, in_shardings=(shardings, (repl, repl, repl)),
+            out_shardings=(shardings, repl),
+        )(s_sh, inp_sh)
+        sharded = jax.tree_util.tree_map(np.asarray, sharded)
+
+    np.testing.assert_allclose(
+        ref.particles.pose, sharded.particles.pose, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        ref.particles.log_w, sharded.particles.log_w, rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(ref.particles.parent,
+                                  sharded.particles.parent)
+    np.testing.assert_array_equal(ref.gm.alive, sharded.gm.alive)
+    np.testing.assert_allclose(ref.gm.w, sharded.gm.w, rtol=1e-3, atol=1e-4)
+
+
+def test_distributed_two_process_smoke():
+    """jax.distributed multi-process path: two CPU processes with gloo
+    collectives run init_distributed + the resampler's global collectives
+    over a 2x2-device mesh (SURVEY.md section 2.8 distributed backend row)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    worker = os.path.join(os.path.dirname(__file__), "dist_smoke_worker.py")
+    procs = [
+        subprocess.Popen([sys.executable, worker, str(pid), str(port)],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True)
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    assert outs[0][0] == 0, outs[0][2][-2000:]
+    assert outs[1][0] == 0, outs[1][2][-2000:]
+    assert "DIST-OK" in outs[0][1]
