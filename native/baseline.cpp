@@ -60,7 +60,7 @@ static inline double wrap(double a) {
   return a;
 }
 
-int main() {
+int main(int argc, char** argv) {
   // ---------------- simulate data (same generator shape as io/sim2d.py)
   std::mt19937_64 rng(1);
   std::uniform_real_distribution<double> U(0.0, 1.0);
@@ -120,6 +120,25 @@ int main() {
     if ((int)zs[k].size() > ZCAP) zs[k].resize(ZCAP);
   }
 
+  // optional: dump the generated sim data so the TPU filter can run on
+  // IDENTICAL inputs (scripts/sim_accuracy_check.py) — isolates filter
+  // quality from data-generation RNG differences
+  if (argc > 1 && strcmp(argv[1], "--dump") == 0 && argc > 2) {
+    char path[512];
+    snprintf(path, sizeof path, "%s/gt_odo.txt", argv[2]);
+    FILE* f = fopen(path, "w");
+    for (int k = 0; k < T; k++)
+      fprintf(f, "%.17g %.17g %.17g %.17g %.17g %.17g\n",
+              gt[k][0], gt[k][1], gt[k][2], odo[k][0], odo[k][1], odo[k][2]);
+    fclose(f);
+    snprintf(path, sizeof path, "%s/z.txt", argv[2]);
+    f = fopen(path, "w");
+    for (int k = 0; k < T; k++)
+      for (auto& z : zs[k])
+        fprintf(f, "%d %.17g %.17g\n", k, z[0], z[1]);
+    fclose(f);
+  }
+
   // ---------------- filter
   std::vector<Particle> parts(P);
   for (auto& p : parts) { p.x = p.y = p.th = 0; p.logw = 0; p.map.reserve(MAP_CAP + 64); }
@@ -139,6 +158,7 @@ int main() {
 #endif
 
   std::vector<std::array<double, 2>> lastz;
+  std::vector<double> errs;
   for (int k = 1; k < T; k++) {
     auto& Z = zs[k];
     int nZ = (int)Z.size();
@@ -452,6 +472,16 @@ int main() {
         for (auto& pr : parts) pr.logw -= lse;
       }
     }
+
+    // best-particle position error (same metric as bench.py: median over
+    // steps >= 150 of ||best_pose - gt||)
+    if (k >= 150) {
+      int best = 0;
+      for (int i = 1; i < P; i++)
+        if (parts[i].logw > parts[best].logw) best = i;
+      double ex = parts[best].x - gt[k][0], ey = parts[best].y - gt[k][1];
+      errs.push_back(sqrt(ex * ex + ey * ey));
+    }
   }
 
   double t_end = 0;
@@ -461,10 +491,13 @@ int main() {
   t_end = (double)clock() / CLOCKS_PER_SEC;
 #endif
   double wall = t_end - t_start;
+  std::sort(errs.begin(), errs.end());
+  double med_err = errs.empty() ? 0.0 : errs[errs.size() / 2];
   size_t tot = 0;
   for (auto& pr : parts) tot += pr.map.size();
   fprintf(stderr, "wall=%.2fs threads=%d avg_map=%.1f\n", wall, nthreads,
           (double)tot / P);
-  printf("{\"timesteps_per_sec\": %.2f}\n", (T - 1) / wall);
+  printf("{\"timesteps_per_sec\": %.2f, \"median_pose_err_m\": %.4f}\n",
+         (T - 1) / wall, med_err);
   return 0;
 }

@@ -24,6 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 PARTICLE_AXIS = "particles"
+MAP_AXIS = "map"
 
 
 def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
@@ -77,3 +78,52 @@ def shard_state(tree: Any, mesh: Mesh, n_particles: int):
     """Place a state pytree on the mesh with particle-axis sharding."""
     shardings = state_shardings(tree, mesh, n_particles)
     return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+
+
+def make_mesh_2d(n_particle_shards: int, n_map_shards: int,
+                 devices=None) -> Mesh:
+    """2-D mesh: particle axis x landmark (map-block) axis.
+
+    Map-block parallelism is the structural analog of sequence/context
+    parallelism for this workload (SURVEY.md section 2.8 row 4): a
+    particle's Gaussian mixture (the M axis of the [D, P, M] planes and the
+    [P, Z, M] weight table) grows unboundedly on large datasets; sharding M
+    over a second mesh axis splits each particle's map across devices.  The
+    cross-M reductions of the filter (weight-table column sums, GM intensity
+    sums in importance weighting, top-k new-Gaussian compaction) become
+    XLA GSPMD collectives over this axis.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = n_particle_shards * n_map_shards
+    arr = np.asarray(devices[:n]).reshape(n_particle_shards, n_map_shards)
+    return Mesh(arr, (PARTICLE_AXIS, MAP_AXIS))
+
+
+def state_shardings_2d(tree: Any, mesh: Mesh, n_particles: int,
+                       map_capacity: int):
+    """Per-leaf shardings on a 2-D mesh: particle axis + landmark axis.
+
+    Plane-major map arrays ``[D, P, M]`` shard as (None, particles, map);
+    per-particle vectors ``[P, M]`` as (particles, map); everything else
+    falls back to particle-only or replicated.  Measurement-axis arrays
+    (``[Zc, ...]``) replicate.
+    """
+    repl = NamedSharding(mesh, P())
+
+    def spec(leaf):
+        if not hasattr(leaf, "ndim"):
+            return repl
+        shp = leaf.shape
+        if (leaf.ndim >= 3 and shp[1] == n_particles
+                and shp[2] == map_capacity):
+            return NamedSharding(mesh, P(None, PARTICLE_AXIS, MAP_AXIS))
+        if leaf.ndim >= 2 and shp[0] == n_particles and shp[1] == map_capacity:
+            return NamedSharding(mesh, P(PARTICLE_AXIS, MAP_AXIS))
+        if leaf.ndim >= 2 and shp[1] == n_particles:
+            return NamedSharding(mesh, P(None, PARTICLE_AXIS))
+        if leaf.ndim >= 1 and shp[0] == n_particles:
+            return NamedSharding(mesh, P(PARTICLE_AXIS))
+        return repl
+
+    return jax.tree_util.tree_map(spec, tree)

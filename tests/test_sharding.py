@@ -165,3 +165,44 @@ def test_distributed_two_process_smoke():
     assert outs[0][0] == 0, outs[0][2][-2000:]
     assert outs[1][0] == 0, outs[1][2][-2000:]
     assert "DIST-OK" in outs[0][1]
+
+
+def test_landmark_axis_sharding_matches_single_device():
+    """Map-block parallelism (SURVEY.md section 2.8 row 4): sharding the
+    landmark axis across a 2x4 particles-x-map mesh must not change the
+    filter step.  The cross-M reductions (weight-table column sums,
+    importance-weighting intensity sums, top-k compaction) become GSPMD
+    collectives over the map axis."""
+    import __graft_entry__ as g
+
+    filt = g._build(n_particles=8, map_capacity=16, z_capacity=4,
+                    new_capacity=8, eval_capacity=4, z_dp_max=4)
+    devs = cpu_devices(8)
+    with jax.default_device(devs[0]):
+        state, odo, z, zm = g._example_inputs(filt, jax.random.PRNGKey(0))
+
+        def step(s, o, zz, zzm):
+            s = filt.predict(s, o, 0.1)
+            return filt.update(s, zz, zzm)
+
+        ref = jax.jit(step)(state, odo, z, zm)
+        ref = jax.tree_util.tree_map(np.asarray, ref)
+
+        mesh = mesh_lib.make_mesh_2d(2, 4, devices=devs)
+        shardings = mesh_lib.state_shardings_2d(state, mesh, 8, 16)
+        repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        s_sh = jax.tree_util.tree_map(jax.device_put, state, shardings)
+        sharded = jax.jit(
+            step, in_shardings=(shardings, repl, repl, repl),
+            out_shardings=shardings,
+        )(s_sh, *jax.device_put((odo, z, zm), repl))
+        sharded = jax.tree_util.tree_map(np.asarray, sharded)
+
+    np.testing.assert_allclose(
+        ref.particles.pose, sharded.particles.pose, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        ref.particles.log_w, sharded.particles.log_w, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(ref.gm.alive, sharded.gm.alive)
+    np.testing.assert_allclose(ref.gm.w, sharded.gm.w, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(ref.gm.mean, sharded.gm.mean, rtol=1e-4,
+                               atol=1e-4)
