@@ -196,6 +196,11 @@ def take_lane(a: jax.Array, oh: jax.Array) -> jax.Array:
 
     ``a``: [..., M] with batch dims broadcast-compatible against
     ``oh``: [..., K, M].  Returns [..., K].
+
+    INVARIANT: ``a`` must be finite in EVERY lane (including dead/padded
+    slots) — the multiply-reduce makes NaN * 0 = NaN poison all gathered
+    values.  Producers of plane data scrub non-finite entries at the source
+    (see :func:`rfs_slam_tpu.ops.ekf.correct_all`).
     """
     return jnp.sum(a[..., None, :] * oh, axis=-1)
 

@@ -162,6 +162,16 @@ def correct_all(model, gates: InnovationGates, pose: jax.Array,
             for d in range(D)
         ]
     )                                                       # [D, P, Z, M]
+    # NaN/Inf scrub (the reference's NaN guard, KalmanFilter.hpp:253-254).
+    # Dead map slots sit at the origin; a particle exactly at the origin
+    # (Victoria Park's initial stationary pose) makes the range-bearing
+    # Jacobian divide by r = 0, so K/cov/mean all go NaN there even though
+    # the model's valid flag is True.  The planes MUST stay finite: every
+    # lane gather downstream is a one-hot multiply-reduce
+    # (:func:`rfs_slam_tpu.core.planar.take_lane`), and NaN * 0 = NaN would
+    # poison every gathered slot in the plane.
+    mean_upd = jnp.where(jnp.isfinite(mean_upd), mean_upd, 0.0)
+    cov_upd = jnp.where(jnp.isfinite(cov_upd), cov_upd, 0.0)
     return PlanarCorrection(
         z_exp=jnp.stack(list(pred.z)), S=pred.S, cov_upd=cov_upd,
         mean_upd=mean_upd, likelihood=lik, md2=md2, valid=valid,
@@ -204,6 +214,12 @@ def correct_single(model, gates: InnovationGates, pose: jax.Array,
         [lm_mean[d] + sum(K[d][e] * innov[e] for e in range(DZ))
          for d in range(D)]
     )
+    # NaN guard (KalmanFilter.hpp:253-254): a degenerate input (r = 0) can
+    # make the update NaN while the model still reports valid; keep the
+    # original Gaussian there so the planes stay finite (see correct_all).
+    finite = (jnp.all(jnp.isfinite(mean_upd), axis=0)
+              & jnp.all(jnp.isfinite(cov_upd), axis=0))
+    valid = valid & finite
     mean_out = jnp.where(valid[None], mean_upd, lm_mean)
     cov_out = jnp.where(valid[None], cov_upd, lm_cov)
     return mean_out, cov_out, jnp.where(valid, lik, 0.0), md2, valid

@@ -3,19 +3,31 @@
 Compile times dominate small-host workflows (tests, CLI apps); enabling the
 JAX persistent cache makes every recompile of an unchanged computation a disk
 hit.  Call :func:`enable` before building any computation.
+
+The cache directory is segregated by the ``JAX_PLATFORMS`` value: processes
+running under a PJRT plugin (e.g. a tunneled TPU backend) can emit CPU
+executables with plugin-specific target features (``prefer-no-scatter`` /
+``prefer-no-gather``); loading those from a plain-CPU process trips XLA's
+machine-feature check ("could lead to execution errors such as SIGILL").
+Separate directories keep the two executable families apart.
 """
 
 from __future__ import annotations
 
 import os
+import re
 
 
 def enable(cache_dir: str | None = None) -> None:
     import jax
 
-    cache_dir = cache_dir or os.environ.get(
-        "RFS_SLAM_TPU_CACHE", os.path.expanduser("~/.cache/rfs_slam_tpu_xla")
-    )
+    if cache_dir is None:
+        base = os.environ.get(
+            "RFS_SLAM_TPU_CACHE",
+            os.path.expanduser("~/.cache/rfs_slam_tpu_xla"),
+        )
+        platform = os.environ.get("JAX_PLATFORMS", "auto") or "auto"
+        cache_dir = os.path.join(base, re.sub(r"[^\w-]+", "_", platform))
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

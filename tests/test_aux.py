@@ -140,7 +140,8 @@ def test_phase_timer():
     out = t.time("phase_a", lambda: jnp.sum(jnp.arange(100.0)))
     assert float(out) == 4950.0
     rep = t.report()
-    assert rep["phase_a"] > 0
+    wall, cpu = rep["phase_a"]
+    assert wall > 0 and cpu >= 0
     assert "phase_a" in t.table()
 
 

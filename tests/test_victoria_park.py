@@ -236,3 +236,52 @@ def test_checkpoint_resume_bit_identical(tmp_path):
 
     for a, c in zip(outs_a, outs_c):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_CFG), reason="reference cfg absent")
+def test_update_at_origin_keeps_planes_finite():
+    """Regression: round-2 root cause of the dead VP filter.
+
+    A particle exactly at the origin (VP's initial stationary pose) makes the
+    range-bearing Jacobian divide by r = 0 against the dead map slots parked
+    at the origin, so the EKF's per-slot updates are NaN while the VP model's
+    valid flag stays True.  Without the correct_all NaN scrub those NaNs land
+    in dead slots of the map planes, and the next one-hot gather
+    (planar.take_lane: NaN * 0 = NaN) poisons EVERY landmark — births went
+    NaN, Pd went 0, particle weights stayed uniform, and the filter never
+    localized (reference NaN guard: KalmanFilter.hpp:253-254).
+    """
+    from rfs_slam_tpu.apps.rbphdslam_victoriapark import build
+    from rfs_slam_tpu.io.xmlconfig import XmlConfig
+
+    cfg = XmlConfig(os.path.join(REF_CFG, "rbphdslam_VictoriaPark.xml"))
+    filt, input_cov, ack = build(cfg, z_capacity=8, map_capacity=32,
+                                 n_particles=2)
+    state = filt.init_state(jax.random.PRNGKey(0), jnp.zeros(3), dz=3, d=3)
+    z = jnp.asarray(
+        [[20.46, 0.886, 0.354], [29.60, 1.021, 0.257], [12.74, 1.353, 0.111]]
+        + [[0.0, 0.0, 0.0]] * 5, jnp.float32)
+    z_mask = jnp.asarray([True] * 3 + [False] * 5)
+
+    # update with the map empty and the pose at the exact origin
+    state = filt.update(state, z, z_mask)
+    assert np.isfinite(np.asarray(state.gm.mean)).all()
+    assert np.isfinite(np.asarray(state.gm.cov)).all()
+    assert np.asarray(state.last_unused)[0].sum() == 3
+
+    # births from the unused measurements must be finite with Pd > 0
+    gm, birth = filt._add_birth_gaussians(state, state.particles.key)
+    alive = np.asarray(gm.alive[0])
+    assert alive.sum() == 3
+    assert np.isfinite(np.asarray(gm.mean)[:, 0, alive]).all()
+    pd, _ = filt.meas.pd_p(state.particles.pose[:, None, :], gm.mean, gm.cov)
+    assert np.asarray(pd)[0][alive].max() > 0.0
+
+    # a second update must now produce a non-trivial weight table: the born
+    # landmarks are re-detected, so at least one updated Gaussian gains
+    # weight above the 0.01 birth weight
+    state = state.replace(gm=gm, birth=birth)
+    state = filt.update(state, z, z_mask)
+    w = np.asarray(state.gm.w[0])[np.asarray(state.gm.alive[0])]
+    assert np.isfinite(np.asarray(state.gm.mean)).all()
+    assert w.max() > 0.5
