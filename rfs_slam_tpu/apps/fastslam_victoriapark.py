@@ -126,7 +126,10 @@ def build(cfg: XmlConfig, z_capacity: int, map_capacity: int,
 
 
 def run(filt: FastSLAMFilter, input_cov, frames: vp_io.VPFrames,
-        artificial_clutter: float = 0.0, seed: int = 0):
+        artificial_clutter: float = 0.0, seed: int = 0,
+        ckpt_dir: str | None = None, ckpt_every: int = 0,
+        resume: bool = False):
+    """Chunked device scan over frames; see rbphdslam_victoriapark.run."""
     F, K = frames.pred_dt.shape
 
     z = frames.z.copy()
