@@ -147,11 +147,20 @@ def baseline_tps():
     return None
 
 
+# Accuracy anchor (RESULTS.md): measured 0.033 m median on this workload;
+# the C++ double-precision baseline scores 0.574 m on its own data and the
+# TPU filter 0.555 m on that same data (scripts/sim_accuracy_check.py).  A
+# perf change that pushes the median past this bound is a regression and
+# fails the bench.
+ACCURACY_ANCHOR_M = 0.10
+
+
 def main():
     sim_cfg, data, filt = build()
     stats = run_tpu(sim_cfg, data, filt)
     base = baseline_tps()
     vs = stats["timesteps_per_sec"] / base if base else None
+    accuracy_ok = stats["median_pose_err_m"] <= ACCURACY_ANCHOR_M
     print(json.dumps({
         "metric": "rbphd2dsim_200p_timesteps_per_sec",
         "value": round(stats["timesteps_per_sec"], 2),
@@ -161,10 +170,14 @@ def main():
             "compile_s": round(stats["compile_s"], 1),
             "wall_s": round(stats["wall_s"], 3),
             "median_pose_err_m": round(stats["median_pose_err_m"], 4),
+            "accuracy_anchor_m": ACCURACY_ANCHOR_M,
+            "accuracy_ok": accuracy_ok,
             "baseline_timesteps_per_sec": base,
             "device": str(jax.devices()[0]),
         },
     }))
+    if not accuracy_ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

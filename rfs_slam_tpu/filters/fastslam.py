@@ -454,8 +454,12 @@ class FastSLAMFilter:
         gathered = resample_ops.gather_particles(
             {"pose": pose, "gm": gm, "cand": cand, "fov": n_in_fov}, anc)
 
+        # recorded ancestry must index the PREVIOUS step's P-sized particle
+        # array (Trajectory prev-chain, rbphdslam_VictoriaPark.cpp:631-660);
+        # in MH mode `anc` indexes the H*P expanded set, where copy h*P + p
+        # descends from particle p
         particles = state.particles.replace(
-            pose=gathered["pose"], log_w=new_log_w, parent=anc, key=key)
+            pose=gathered["pose"], log_w=new_log_w, parent=anc % P, key=key)
         return FastSLAMState(
             particles=particles, gm=gathered["gm"], cand=gathered["cand"],
             n_in_fov=gathered["fov"],

@@ -34,6 +34,10 @@ from flax import struct
 
 from rfs_slam_tpu.core import gaussian
 
+# floor for squared-range Jacobian denominators (see RangeBearing.measure):
+# keeps H finite (0/1e-12 = 0) for a landmark exactly at the sensor
+_R2_TINY = 1e-24
+
 
 class MeasurePrediction(NamedTuple):
     z: jax.Array          # (..., DZ)   expected measurement
@@ -83,18 +87,24 @@ class RangeBearing(struct.PyTreeNode):
         b = gaussian.wrap_angle(jnp.arctan2(dy, dx) - pose[..., 2])
         z = jnp.stack([r, b], axis=-1)
 
+        # Jacobian denominators clamped away from 0: a landmark exactly at
+        # the sensor (dead padded slots + a particle at the origin) must
+        # yield FINITE H (= 0 here), not NaN — downstream one-hot gathers
+        # require finite planes everywhere (core/planar.take_lane)
+        r2s = jnp.maximum(r2, _R2_TINY)
+        rs = jnp.sqrt(r2s)
         H_lmk = jnp.stack(
             [
-                jnp.stack([dx / r, dy / r], axis=-1),
-                jnp.stack([-dy / r2, dx / r2], axis=-1),
+                jnp.stack([dx / rs, dy / rs], axis=-1),
+                jnp.stack([-dy / r2s, dx / r2s], axis=-1),
             ],
             axis=-2,
         )
         zero = jnp.zeros_like(r)
         H_pose = jnp.stack(
             [
-                jnp.stack([-dx / r, -dy / r, zero], axis=-1),
-                jnp.stack([dy / r2, -dx / r2, zero - 1.0], axis=-1),
+                jnp.stack([-dx / rs, -dy / rs, zero], axis=-1),
+                jnp.stack([dy / r2s, -dx / r2s, zero - 1.0], axis=-1),
             ],
             axis=-2,
         )
@@ -113,7 +123,10 @@ class RangeBearing(struct.PyTreeNode):
         r2 = dx * dx + dy * dy
         r = jnp.sqrt(r2)
         b = gaussian.wrap_angle(jnp.arctan2(dy, dx) - pose[..., 2])
-        H = [[dx / r, dy / r], [-dy / r2, dx / r2]]
+        # clamped denominators: see measure()
+        r2s = jnp.maximum(r2, _R2_TINY)
+        rs = jnp.sqrt(r2s)
+        H = [[dx / rs, dy / rs], [-dy / r2s, dx / r2s]]
         if cov is not None:
             S = planar.sandwich_sym(H, cov, 2, R=self.R)
         else:

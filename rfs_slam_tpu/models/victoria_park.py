@@ -76,12 +76,16 @@ class VictoriaPark(struct.PyTreeNode):
         b = gaussian.wrap_angle(jnp.arctan2(dy, dx) - th)
         z = jnp.stack([r, b, lm_mean[..., 2]], axis=-1)
 
+        # clamped Jacobian denominators: finite H for a landmark exactly at
+        # the sensor (dead slots + origin pose) — see models/measurement.py
+        r2s = jnp.maximum(r2, 1e-24)
+        rs = jnp.sqrt(r2s)
         zero = jnp.zeros_like(r)
         one = jnp.ones_like(r)
         H = jnp.stack(
             [
-                jnp.stack([dx / r, dy / r, zero], axis=-1),
-                jnp.stack([-dy / r2, dx / r2, zero], axis=-1),
+                jnp.stack([dx / rs, dy / rs, zero], axis=-1),
+                jnp.stack([-dy / r2s, dx / r2s, zero], axis=-1),
                 jnp.stack([zero, zero, one], axis=-1),
             ],
             axis=-2,
@@ -107,11 +111,14 @@ class VictoriaPark(struct.PyTreeNode):
         r2 = dx * dx + dy * dy
         r = jnp.sqrt(r2)
         b = gaussian.wrap_angle(jnp.arctan2(dy, dx) - th)
+        # clamped Jacobian denominators: see measure()
+        r2s = jnp.maximum(r2, 1e-24)
+        rs = jnp.sqrt(r2s)
         zero = jnp.zeros_like(r)
         one = jnp.ones_like(r)
         H = [
-            [dx / r, dy / r, zero],
-            [-dy / r2, dx / r2, zero],
+            [dx / rs, dy / rs, zero],
+            [-dy / r2s, dx / r2s, zero],
             [zero, zero, one],
         ]
         if cov is not None:

@@ -132,6 +132,14 @@ def correct_all(model, gates: InnovationGates, pose: jax.Array,
     Ht = planar.transpose_rows(pred.H)                     # D x DZ
     CHt = planar.matmul(C_rows, Ht)                        # D x DZ
     K = planar.matmul(CHt, planar.sym_rows(S_inv, DZ))     # D x DZ
+    # NaN guard at [P, M] cost (the reference's, KalmanFilter.hpp:253-254):
+    # models clamp their Jacobian denominators so H stays finite even for
+    # dead slots (see models/measurement.py), but scrub the gain as a
+    # model-agnostic backstop — every downstream plane (mean_upd, cov_upd)
+    # is an affine function of K, and planes MUST stay finite everywhere
+    # because one-hot lane gathers (planar.take_lane) turn a single NaN
+    # lane into NaN for every gathered value.
+    K = [[jnp.where(jnp.isfinite(k), k, 0.0) for k in row] for row in K]
     # cov_upd = (I - K H) Sigma, symmetrized (KalmanFilter.hpp:240-245)
     KH = planar.matmul(K, pred.H)                          # D x D
     A = [[(1.0 if i == j else 0.0) - KH[i][j] for j in range(D)]
@@ -162,16 +170,6 @@ def correct_all(model, gates: InnovationGates, pose: jax.Array,
             for d in range(D)
         ]
     )                                                       # [D, P, Z, M]
-    # NaN/Inf scrub (the reference's NaN guard, KalmanFilter.hpp:253-254).
-    # Dead map slots sit at the origin; a particle exactly at the origin
-    # (Victoria Park's initial stationary pose) makes the range-bearing
-    # Jacobian divide by r = 0, so K/cov/mean all go NaN there even though
-    # the model's valid flag is True.  The planes MUST stay finite: every
-    # lane gather downstream is a one-hot multiply-reduce
-    # (:func:`rfs_slam_tpu.core.planar.take_lane`), and NaN * 0 = NaN would
-    # poison every gathered slot in the plane.
-    mean_upd = jnp.where(jnp.isfinite(mean_upd), mean_upd, 0.0)
-    cov_upd = jnp.where(jnp.isfinite(cov_upd), cov_upd, 0.0)
     return PlanarCorrection(
         z_exp=jnp.stack(list(pred.z)), S=pred.S, cov_upd=cov_upd,
         mean_upd=mean_upd, likelihood=lik, md2=md2, valid=valid,
