@@ -13,6 +13,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from rfs_slam_tpu.utils import cache
 cache.enable()
+from rfs_slam_tpu.utils.warmup import warm_transfers
+warm_transfers()
 
 import jax
 import jax.numpy as jnp
