@@ -219,3 +219,34 @@ def test_native_loadtxt_matches_numpy(tmp_path):
     np.savetxt(p, arr)
     got = native.loadtxt(p)
     np.testing.assert_allclose(got, arr, rtol=1e-12)
+
+
+# ---------------------------------------------------------- map integrity
+def test_check_map_integrity():
+    """RBPHDFilter::checkMapIntegrity analog (RBPHDFilter.hpp:1087-1150)."""
+    from rfs_slam_tpu.core.state import GMState
+    from rfs_slam_tpu.utils.integrity import check_map_integrity
+
+    gm = GMState.empty(2, 4, 2)
+    gm = gm.replace(
+        mean=gm.mean.at[:, 0, 0].set(1.0),
+        cov=gm.cov.at[:, 0, 0].set(jnp.asarray([0.1, 0.0, 0.1])),
+        w=gm.w.at[0, 0].set(0.5),
+        alive=gm.alive.at[0, 0].set(True),
+    )
+    ok, rep = check_map_integrity(gm)
+    assert ok, rep
+
+    bad = gm.replace(mean=gm.mean.at[0, 0, 0].set(jnp.nan))
+    ok, rep = check_map_integrity(bad)
+    assert not ok and rep["mean_nonfinite"] == 1
+
+    # dead slots are ignored even when garbage
+    bad2 = gm.replace(mean=gm.mean.at[0, 0, 3].set(jnp.nan))
+    ok, _ = check_map_integrity(bad2)
+    assert ok
+
+    # non-positive covariance quadratic form
+    bad3 = gm.replace(cov=gm.cov.at[:, 0, 0].set(jnp.asarray([0.1, -0.2, 0.1])))
+    ok, rep = check_map_integrity(bad3)
+    assert not ok and rep["cov_nonpositive"] == 1
