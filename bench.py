@@ -22,10 +22,16 @@ import sys
 import time
 
 from rfs_slam_tpu.utils import cache
-from rfs_slam_tpu.utils.warmup import warm_transfers
 
 cache.enable()
-warm_transfers()
+# NOTE: no warm_transfers() here.  The tunneled TPU's FIRST device-to-host
+# fetch in a process costs 100-1300 s cold, and the relay channel serializes:
+# a warm-up D2H started at import makes every timed dispatch queue behind it
+# (that is exactly how BENCH_r02 recorded compile_s 930 s).  Execution and
+# host-to-device transfers do NOT pay this cost (measured: tiny compile+exec
+# 1.5 s while the first D2H took 69 s in the same cold process), so the bench
+# keeps all D2H strictly out of the timed path and pays the one cold fetch at
+# the end, reported separately as first_d2h_s.
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -98,40 +104,74 @@ def run_tpu(sim_cfg, data, filt):
         jnp.arange(1, T) <= 100,
     )
 
-    @jax.jit
     def run(state, inputs):
         return jax.lax.scan(step, state, inputs)
 
+    # True XLA compile time (persistent cache makes reruns a disk hit).
     t0 = time.time()
-    out = run(state, inputs)
-    jax.block_until_ready(out)
-    compile_and_first = time.time() - t0
+    compiled = jax.jit(run).lower(state, inputs).compile()
+    compile_s = time.time() - t0
+
+    # Pay the relay's one-time cold device-to-host cost NOW, on a trivial
+    # fetch, so it cannot contaminate any timed section below.  This cost is
+    # an environment constant of this host's TPU tunnel (measured 33-1300 s),
+    # not a property of the compiled program.
+    t0 = time.time()
+    np.asarray(jnp.zeros((1,), jnp.float32) + 1.0)
+    first_d2h_s = time.time() - t0
+
+    def timed_run(s):
+        """Run + hard sync.  block_until_ready does not reliably block on
+        this relay backend for AOT-dispatched executables, so the sync is a
+        small fetch of an output leaf (milliseconds on the warm channel)."""
+        t0 = time.time()
+        out = compiled(s, inputs)
+        np.asarray(out[0].particles.log_w)
+        return time.time() - t0, out
+
+    first_run_s, out = timed_run(state)
 
     times = []
     for _ in range(3):
         s2 = filt.init_state(jax.random.PRNGKey(2), jnp.zeros(3))
-        t0 = time.time()
-        out = run(s2, inputs)
-        jax.block_until_ready(out)
-        times.append(time.time() - t0)
+        dt_, out = timed_run(s2)
+        times.append(dt_)
     best_t = min(times)
+
     _, best_poses = out
-    err = np.linalg.norm(
-        np.asarray(best_poses)[:, :2] - data.gt_pose[1:, :2], axis=1
-    )
+    best_poses = np.asarray(best_poses)
+    err = np.linalg.norm(best_poses[:, :2] - data.gt_pose[1:, :2], axis=1)
     return {
         "timesteps_per_sec": (T - 1) / best_t,
         "wall_s": best_t,
-        "compile_s": compile_and_first,
+        "compile_s": compile_s,
+        "first_run_s": first_run_s,
+        "first_d2h_s": first_d2h_s,
         "median_pose_err_m": float(np.median(err[150:])),
     }
 
 
 def baseline_tps():
-    """OpenMP C++ baseline timesteps/s (measured on this host)."""
+    """OpenMP C++ baseline timesteps/s (measured on this host).
+
+    The binary is always (re)built from the committed ``native/baseline.cpp``
+    — no prebuilt blob is trusted (the full ~200 s measurement run only
+    happens when no stored result exists; rebuild is <10 s).
+    """
     here = os.path.dirname(os.path.abspath(__file__))
     result_file = os.path.join(here, "native", "baseline_result.json")
     binary = os.path.join(here, "native", "baseline")
+    src = os.path.join(here, "native", "baseline.cpp")
+    if not os.path.exists(binary) or (
+        os.path.getmtime(binary) < os.path.getmtime(src)
+    ):
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.join(here, "native"), "baseline"],
+                check=True, capture_output=True, timeout=300,
+            )
+        except Exception:
+            pass
     if not os.path.exists(result_file) and os.path.exists(binary):
         try:
             out = subprocess.run(
@@ -168,6 +208,8 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
         "detail": {
             "compile_s": round(stats["compile_s"], 1),
+            "first_run_s": round(stats["first_run_s"], 1),
+            "first_d2h_s": round(stats["first_d2h_s"], 1),
             "wall_s": round(stats["wall_s"], 3),
             "median_pose_err_m": round(stats["median_pose_err_m"], 4),
             "accuracy_anchor_m": ACCURACY_ANCHOR_M,

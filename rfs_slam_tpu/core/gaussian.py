@@ -31,6 +31,11 @@ LOG_2PI = 1.8378770664093453
 # std::numeric_limits<double>::denorm_min() particle-weight floor
 # (RBPHDFilter.hpp:570, 743). float32-safe.
 TINY = 1e-35
+# Floor for squared-range Jacobian denominators (range-bearing-style models):
+# keeps H finite for a landmark exactly at the sensor (dead slots + origin
+# pose).  Shared by models/measurement.py and models/victoria_park.py so the
+# clamp cannot drift between models.
+R2_TINY = 1e-24
 
 
 def det(S: jax.Array) -> jax.Array:

@@ -35,8 +35,9 @@ from flax import struct
 from rfs_slam_tpu.core import gaussian
 
 # floor for squared-range Jacobian denominators (see RangeBearing.measure):
-# keeps H finite (0/1e-12 = 0) for a landmark exactly at the sensor
-_R2_TINY = 1e-24
+# keeps H finite for a landmark exactly at the sensor; shared constant so the
+# victoria-park model's clamp cannot drift from this one
+_R2_TINY = gaussian.R2_TINY
 
 
 class MeasurePrediction(NamedTuple):

@@ -78,7 +78,7 @@ class VictoriaPark(struct.PyTreeNode):
 
         # clamped Jacobian denominators: finite H for a landmark exactly at
         # the sensor (dead slots + origin pose) — see models/measurement.py
-        r2s = jnp.maximum(r2, 1e-24)
+        r2s = jnp.maximum(r2, gaussian.R2_TINY)
         rs = jnp.sqrt(r2s)
         zero = jnp.zeros_like(r)
         one = jnp.ones_like(r)
@@ -112,7 +112,7 @@ class VictoriaPark(struct.PyTreeNode):
         r = jnp.sqrt(r2)
         b = gaussian.wrap_angle(jnp.arctan2(dy, dx) - th)
         # clamped Jacobian denominators: see measure()
-        r2s = jnp.maximum(r2, 1e-24)
+        r2s = jnp.maximum(r2, gaussian.R2_TINY)
         rs = jnp.sqrt(r2s)
         zero = jnp.zeros_like(r)
         one = jnp.ones_like(r)

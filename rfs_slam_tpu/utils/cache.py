@@ -22,12 +22,15 @@ def enable(cache_dir: str | None = None) -> None:
     import jax
 
     if cache_dir is None:
-        base = os.environ.get(
+        cache_dir = os.environ.get(
             "RFS_SLAM_TPU_CACHE",
             os.path.expanduser("~/.cache/rfs_slam_tpu_xla"),
         )
-        platform = os.environ.get("JAX_PLATFORMS", "auto") or "auto"
-        cache_dir = os.path.join(base, re.sub(r"[^\w-]+", "_", platform))
+    # Platform segregation applies to EVERY cache root, including explicit
+    # ones — an explicit path shared across JAX_PLATFORMS values would
+    # reintroduce the cross-platform executable poisoning this exists to fix.
+    platform = os.environ.get("JAX_PLATFORMS", "auto") or "auto"
+    cache_dir = os.path.join(cache_dir, re.sub(r"[^\w-]+", "_", platform))
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

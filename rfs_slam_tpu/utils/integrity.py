@@ -38,14 +38,18 @@ def check_map_integrity(gm: GMState, weights_are_log_odds: bool = False):
             quad = quad + (v if i == j else 2.0 * v)
     psd_bad = (quad <= 0.0) & alive & ~cov_bad
 
+    # w != w is an explicit failure in the reference check
+    # (RBPHDFilter.hpp:1087-1150); `w < 0` alone would let NaN through.
+    w_nonfinite = (~jnp.isfinite(gm.w)) & alive
     w_bad = jnp.zeros_like(alive)
     if not weights_are_log_odds:
-        w_bad = (gm.w < 0.0) & alive
+        w_bad = (gm.w < 0.0) & alive & ~w_nonfinite
 
     report = {
         "mean_nonfinite": int(jnp.sum(mean_bad)),
         "cov_nonfinite": int(jnp.sum(cov_bad)),
         "cov_nonpositive": int(jnp.sum(psd_bad)),
+        "weight_nonfinite": int(jnp.sum(w_nonfinite)),
         "weight_negative": int(jnp.sum(w_bad)),
     }
     ok = not any(report.values())

@@ -57,8 +57,10 @@ def warm_transfers(block: bool = False) -> None:
             # (PJRT client teardown with a pending transfer -> std::terminate).
             # Every real flow performs a device read-out long before exit, so
             # this join is instant in practice; an early-exiting process waits
-            # for the handshake instead of dumping core.
-            atexit.register(_THREAD.join)
+            # for the handshake instead of dumping core.  The timeout bounds
+            # the wait when the relay itself is wedged (a documented failure
+            # mode of this host) — a hung exit is worse than the rare abort.
+            atexit.register(lambda: _THREAD.join(timeout=120.0))
         th = _THREAD
     if block:
         th.join()

@@ -92,3 +92,56 @@ scan_time("  importance (via w carry)",
 anc = jnp.arange(P, dtype=jnp.int32)[::-1]
 scan_time("  resample gather",
           lambda g: resample_ops.gather_particles({"gm": g}, anc)["gm"], gm)
+
+
+# ---- finer breakdown of the map-update + predict internals
+def wtab_only(g):
+    """correct_all + weight table + missed-detection weights (no new-Gaussian
+    selection, no append)."""
+    import jax.numpy as jnp
+    from rfs_slam_tpu.core import planar
+    cfg = filt.cfg
+    corr = correct_all(filt.meas, filt.gates, pose, g.mean, g.cov, z)
+    pd_raw, close = filt.meas.pd_p(pose[:, None, :], g.mean, g.cov)
+    pd = jnp.where(close & g.alive, 1.0, jnp.where(g.alive, pd_raw, 0.0))
+    md_gate = corr.md2 <= cfg.new_gaussian_md_threshold**2
+    cell = (g.alive[:, None, :] & (pd[:, None, :] > 0.0)
+            & z_mask[None, :, None] & md_gate & (corr.likelihood > 0.0))
+    w_tab = jnp.where(cell, pd[:, None, :] * g.w[:, None, :] * corr.likelihood, 0.0)
+    clutter_z = jnp.broadcast_to(filt.meas.clutter_intensity(z, 10), (ZC,))
+    col_sum = clutter_z[None, :] + jnp.sum(w_tab, axis=2)
+    w_tab = jnp.where(z_mask[None, :, None], w_tab / col_sum[:, :, None], 0.0)
+    w_miss = (1.0 - pd) * g.w + jnp.sum(w_tab, axis=1) * 1e-9
+    return g.replace(w=jnp.where(g.alive, w_miss + g.w * 0.999, g.w))
+
+
+def map_update_full(g):
+    st = full_state.replace(gm=g)
+    gm_full, _, _, _, _ = filt._map_update(st, z, z_mask, filt.meas)
+    return gm_ops.compact(gm_full, M)
+
+
+scan_time("  wtab+missdetect (incl corr)", wtab_only, gm)
+scan_time("  map_update full (corr..append)", map_update_full, gm)
+scan_time("  append(48 new)+compact",
+          lambda g: gm_ops.append(
+              g, g.mean[:, :, :48], g.cov[:, :, :48], g.w[:, :48] * 0.5,
+              g.alive[:, :48], capacity=M), gm)
+
+
+def birth_only(g):
+    st = full_state.replace(gm=g)
+    gm2, _ = filt._add_birth_gaussians(st, jax.random.PRNGKey(1), filt.meas)
+    return gm_ops.compact(gm2, M)
+
+
+def propagate_only(g):
+    import jax.numpy as jnp
+    keys = jax.random.split(jax.random.PRNGKey(2), P)
+    p2 = jax.vmap(lambda k, p: filt.motion.sample(k, p, odo, 0.1, True, False,
+                                                  None))(keys, pose)
+    return g.replace(w=g.w + jnp.sum(p2) * 1e-12)
+
+
+scan_time("  birth gaussians only", birth_only, gm)
+scan_time("  propagate only", propagate_only, gm)
