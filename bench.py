@@ -70,7 +70,7 @@ def build():
     gates = InnovationGates.range_bearing(range_t=1.0, bearing_t=0.2)
     cfg = RBPHDConfig(
         n_particles=N_PARTICLES, map_capacity=MAP_CAPACITY,
-        z_capacity=Z_CAPACITY, new_capacity=48, birth_capacity=16,
+        z_capacity=Z_CAPACITY, new_capacity=48, new_per_z=8, birth_capacity=16,
         eval_capacity=15, z_dp_max=10,
         birth_gaussian_weight=0.01, new_gaussian_md_threshold=3.0,
         eval_pt_min_weight=0.75, weighting_md_threshold=3.0,

@@ -78,6 +78,16 @@ class FastSLAMConfig:
     candidate_capacity: int = 16
 
     max_hypotheses: int = 1          # maxNDataAssocHypotheses_
+    # particle-set growth cap for MH mode; None -> 3 * n_particles, the
+    # reference constructor default (FastSLAM.hpp:335).  The particle axis
+    # of the state is sized n_particles_max and the live set grows/shrinks
+    # under it (see _update_body).
+    n_particles_max: int | None = None
+    # True (default): reference growth semantics — hypotheses become new
+    # particles until the set exceeds n_particles_max, then force-resample
+    # to n_particles (FastSLAM.hpp:728-757).  False: legacy fixed-shape
+    # deviation that resamples to n_particles every update.
+    mh_grow: bool = True
     max_da_loglik_diff: float = 3.0  # maxDataAssocLogLikelihoodDiff_
     min_log_likelihood: float = -10.0  # minLogMeasurementLikelihood_
     existence_prior: float = 0.5     # landmarkExistencePrior_
@@ -111,13 +121,31 @@ class FastSLAMFilter:
         self.gates = gates
         self.cfg = cfg
 
+    @property
+    def p_cap(self) -> int:
+        """Size of the particle axis: n_particles_max in MH grow mode
+        (the live set grows under it, FastSLAM.hpp:728-757), n_particles
+        otherwise."""
+        c = self.cfg
+        if c.max_hypotheses > 1 and c.mh_grow:
+            return c.n_particles_max or 3 * c.n_particles
+        return c.n_particles
+
     def init_state(self, key, pose0, d: int = 2, dtype=jnp.float32):
         c = self.cfg
+        P_cap = self.p_cap
+        particles = ParticleState.init(key, P_cap, pose0, dtype)
+        if P_cap != c.n_particles:
+            # only the first n_particles slots start live
+            live = jnp.arange(P_cap) < c.n_particles
+            particles = particles.replace(
+                log_w=jnp.where(live, -jnp.log(float(c.n_particles)),
+                                -jnp.inf))
         return FastSLAMState(
-            particles=ParticleState.init(key, c.n_particles, pose0, dtype),
-            gm=GMState.empty(c.n_particles, c.map_capacity, d, dtype),
-            cand=BirthCandidates.empty(c.n_particles, c.candidate_capacity, d, dtype),
-            n_in_fov=jnp.zeros((c.n_particles,), jnp.int32),
+            particles=particles,
+            gm=GMState.empty(P_cap, c.map_capacity, d, dtype),
+            cand=BirthCandidates.empty(P_cap, c.candidate_capacity, d, dtype),
+            n_in_fov=jnp.zeros((P_cap,), jnp.int32),
             n_updates=jnp.zeros((), jnp.int32),
             n_meas=jnp.zeros((), jnp.int32),
         )
@@ -130,7 +158,7 @@ class FastSLAMFilter:
         cfg = self.cfg
         lmk = self.lmk if lmk is None else lmk
         key, k_prop = jax.random.split(state.particles.key)
-        prop_keys = jax.random.split(k_prop, cfg.n_particles)
+        prop_keys = jax.random.split(k_prop, state.particles.n_particles)
         pose = jax.vmap(
             lambda k, p: self.motion.sample(
                 k, p, u, dt, use_model_noise, use_input_noise, input_cov
@@ -188,7 +216,7 @@ class FastSLAMFilter:
 
         dz = z.shape[-1]
         pred = meas.measure_p(pose[:, None, :], lm_mean, lm_cov)
-        innov, _ = self.gates.innovation_p(
+        innov, gate_ok = self.gates.innovation_p(
             [pred.z[d][:, :, None] for d in range(dz)],
             [z[:, d][None, None, :] for d in range(dz)],
         )                                                   # planes [P,NMZ,Zc]
@@ -204,7 +232,13 @@ class FastSLAMFilter:
         Zc = z.shape[0]
         table = jnp.full((P, NMZ, NMZ), cfg.min_log_likelihood, logL.dtype)
         table = table.at[:, :, :Zc].set(logL)
-        return table, lm_idx, row_valid, pd_rank, close_rank
+        # KF innovation-gate pass per (rank, z) — the table itself stays
+        # ungated like the reference's (FastSLAM.hpp:467-491; the gate only
+        # aborts the later KF update), but MH grow mode needs it to predict
+        # each hypothesis's exact post-update weight before materializing.
+        gate_tab = jnp.zeros((P, NMZ, NMZ), bool).at[:, :, :Zc].set(
+            gate_ok & jnp.broadcast_to(ok, gate_ok.shape))
+        return table, lm_idx, row_valid, pd_rank, close_rank, gate_tab
 
     def _apply_hypothesis(self, pose, gm: GMState, z, z_mask, da, table,
                           lm_idx, row_valid, pd_rank, log_w, meas=None):
@@ -283,7 +317,7 @@ class FastSLAMFilter:
 
         if cfg.cand_count_threshold == 1:
             w_new = jnp.where(unused, new_lm_w, 0.0)
-            gm = gm_ops.append(gm, inv_mean, inv_cov, w_new, unused)
+            gm = gm_ops.replace_weakest(gm, inv_mean, inv_cov, w_new, unused)
             return gm, cand
 
         # match unused z to candidates
@@ -317,7 +351,7 @@ class FastSLAMFilter:
         is_new = unused & ~z_matched
         immediate = is_new & few[:, None]
         to_insert = is_new & ~immediate
-        gm = gm_ops.append(
+        gm = gm_ops.replace_weakest(
             gm, inv_mean, inv_cov, jnp.where(immediate, new_lm_w, 0.0), immediate
         )
 
@@ -357,25 +391,161 @@ class FastSLAMFilter:
         trigger = cand.alive & (
             enough | (checks > cfg.cand_check_threshold) | few[:, None])
         promote = trigger & (enough | few[:, None])
-        gm = gm_ops.append(
+        gm = gm_ops.replace_weakest(
             gm, cand.mean, cand.cov,
             jnp.where(promote, new_lm_w * checks, 0.0), promote,
         )
         cand = cand.replace(n_checks=checks, alive=cand.alive & ~trigger)
         return gm, cand
 
+    def _update_body_mh_grow(self, state: FastSLAMState, z, z_mask,
+                             table, lm_idx, row_valid, pd_rank, gate_tab,
+                             meas=None):
+        """MH-FastSLAM with the reference's particle-set growth semantics
+        (FastSLAM.hpp:504-563 expansion + resampleWithMapCopy :728-757),
+        restructured TPU-first as **selection before materialization**:
+
+        A hypothesis's post-update weight is ``w_p / n_h * exp(sum of gated
+        table likelihoods of its performed associations)`` — fully known
+        BEFORE any EKF map update (the reference computes the same sum during
+        the update, :605, :717).  So instead of materializing up to
+        ``n_live * H`` particle maps and then resampling, this:
+
+        1. scores all ``P_cap x H`` hypotheses from the DA table,
+        2. applies the reference's resampleWithMapCopy rule on the flat
+           hypothesis distribution (force-resample to n_particles when the
+           expanded count would exceed n_particles_max; else ESS-gated
+           resample when the update/measurement gates are met; else keep all
+           hypotheses as particles — count <= n_particles_max fits the
+           fixed axis),
+        3. gathers parent state and applies the ONE selected hypothesis per
+           surviving slot.
+
+        The EKF work is always ``P_cap`` slots instead of ``P_cap * H``.
+        """
+        cfg = self.cfg
+        pose = state.particles.pose
+        gm = state.gm
+        P_cap = pose.shape[0]
+        P_init = cfg.n_particles
+        H = cfg.max_hypotheses
+        NMZ = cfg.nmz_capacity
+        Zc = z.shape[0]
+        nZ = jnp.sum(z_mask)
+        log_w = state.particles.log_w
+        alive_p = jnp.isfinite(log_w)
+
+        # ---- k-best hypotheses per live slot (Murty real-assignment-block)
+        n_m = jnp.sum(row_valid, axis=1)
+        das, scores, valid = jax.vmap(
+            lambda t, nr: murty(t, H, real_rows=nr, real_cols=nZ)
+        )(table, n_m)                                   # [Pc,H,NMZ], [Pc,H]
+        keep = valid & (scores[:, :1] - scores <= cfg.max_da_loglik_diff)
+        keep = keep & alive_p[:, None]
+        keep = keep.at[:, 0].set(alive_p)               # best always kept
+        n_h = jnp.maximum(jnp.sum(keep, axis=1), 1)
+
+        # ---- exact predicted post-update weight per hypothesis
+        rows = jnp.arange(P_cap)[:, None]
+        ranks = jnp.arange(NMZ)[None, :]
+        zmask_pad = jnp.zeros((NMZ,), bool).at[:Zc].set(z_mask)
+        L_sums = []
+        for h in range(H):
+            da_h = das[:, h, :]                          # [Pc, NMZ]
+            L_da = table[rows, ranks, da_h]
+            ok = (
+                row_valid & (da_h < Zc) & zmask_pad[da_h]
+                & (L_da > cfg.min_log_likelihood)
+                & gate_tab[rows, ranks, da_h]
+            )
+            L_sums.append(jnp.sum(jnp.where(ok, L_da, 0.0), axis=1))
+        L_sum = jnp.stack(L_sums, axis=1)                # [Pc, H]
+        hyp_lw = jnp.where(
+            keep, log_w[:, None] - jnp.log(n_h)[:, None] + L_sum, -jnp.inf
+        )
+        # flat layout h * P_cap + p (matches the h-major concat convention)
+        flat_lw = hyp_lw.T.reshape(-1)                   # [H * Pc]
+
+        # ---- resampleWithMapCopy decision (FastSLAM.hpp:728-757)
+        count = jnp.sum(jnp.where(alive_p, n_h, 0))
+        force = count > P_cap
+        gates_met = (
+            (state.n_updates + 1 >= cfg.min_updates_before_resample)
+            & (state.n_meas + nZ >= cfg.min_measurements_before_resample)
+        )
+        ess = resample_ops.effective_count(flat_lw)
+        do_rs = force | (gates_met & (ess <= cfg.ess_threshold))
+
+        key, k_rs = jax.random.split(state.particles.key)
+        # resample branch: n_particles_init ancestors from the hypothesis
+        # distribution, uniform weights (ParticleFilter.hpp:399-492)
+        anc_rs = resample_ops.systematic_ancestors(k_rs, flat_lw, P_cap)
+        alive_rs = jnp.arange(P_cap) < P_init
+        lw_rs = jnp.where(alive_rs, -jnp.log(float(P_init)), -jnp.inf)
+        # keep branch: every kept hypothesis becomes a particle (count fits
+        # P_cap since force is false), weights normalized
+        keep_flat = jnp.isfinite(flat_lw)
+        order = jnp.argsort(~keep_flat, stable=True).astype(jnp.int32)
+        anc_keep = order[:P_cap]
+        alive_keep = jnp.arange(P_cap) < jnp.sum(keep_flat)
+        lw_keep = jnp.where(alive_keep, flat_lw[anc_keep], -jnp.inf)
+        lw_keep = resample_ops.normalize_log_weights(lw_keep)
+
+        anc_flat = jnp.where(do_rs, anc_rs, anc_keep)
+        out_alive = jnp.where(do_rs, alive_rs, alive_keep)
+        new_log_w = jnp.where(do_rs, lw_rs, lw_keep)
+        new_log_w = jnp.where(out_alive, new_log_w, -jnp.inf)
+        parent = (anc_flat % P_cap).astype(jnp.int32)
+        hyp = (anc_flat // P_cap).astype(jnp.int32)
+
+        # ---- materialize ONLY the selected hypotheses
+        gathered = resample_ops.gather_particles(
+            {"pose": pose, "gm": gm, "cand": state.cand}, parent)
+        da_sel = das[parent, hyp]                        # [Pc, NMZ]
+        table_sel = jnp.take(table, parent, axis=0)
+        lm_idx_sel = jnp.take(lm_idx, parent, axis=0)
+        row_valid_sel = jnp.take(row_valid, parent, axis=0)
+        pd_rank_sel = jnp.take(pd_rank, parent, axis=0)
+
+        gm2, z_used, _, n_in_fov = self._apply_hypothesis(
+            gathered["pose"], gathered["gm"], z, z_mask, da_sel, table_sel,
+            lm_idx_sel, row_valid_sel, pd_rank_sel,
+            jnp.zeros((P_cap,)), meas=meas)
+
+        # map management + candidate pipeline on the selected set
+        do_prune = nZ >= cfg.prune_z_threshold
+        pruned_alive = gm2.alive & (gm2.w >= cfg.prune_threshold)
+        gm2 = gm2.replace(alive=jnp.where(do_prune, pruned_alive, gm2.alive))
+        gm2, cand = self._candidates(gathered["pose"], gm2, gathered["cand"],
+                                     z, z_mask, z_used, n_in_fov, meas=meas)
+        # dead slots keep no map (their weight is -inf; scrub alive so map
+        # statistics/logging never see ghost copies)
+        gm2 = gm2.replace(alive=gm2.alive & out_alive[:, None])
+
+        particles = state.particles.replace(
+            pose=gathered["pose"], log_w=new_log_w, parent=parent, key=key)
+        return FastSLAMState(
+            particles=particles, gm=gm2, cand=cand, n_in_fov=n_in_fov,
+            n_updates=jnp.where(do_rs, 0, state.n_updates + 1),
+            n_meas=jnp.where(do_rs, 0, state.n_meas + nZ),
+        )
+
     def _update_body(self, state: FastSLAMState, z, z_mask, meas=None):
         cfg = self.cfg
         pose = state.particles.pose
         gm = state.gm
-        P = cfg.n_particles
+        P = pose.shape[0]
         Zc = z.shape[0]
         nZ = jnp.sum(z_mask)
 
-        table, lm_idx, row_valid, pd_rank, close_rank = self._da_table(
-            pose, gm, z, z_mask, meas=meas)
+        table, lm_idx, row_valid, pd_rank, close_rank, gate_tab = (
+            self._da_table(pose, gm, z, z_mask, meas=meas))
 
         H = cfg.max_hypotheses
+        if H > 1 and cfg.mh_grow:
+            return self._update_body_mh_grow(
+                state, z, z_mask, table, lm_idx, row_valid, pd_rank,
+                gate_tab, meas=meas)
         if H == 1:
             da, _ = jax.vmap(hungarian)(table)
             gm, z_used, log_w, n_in_fov = self._apply_hypothesis(

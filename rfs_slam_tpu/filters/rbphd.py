@@ -60,6 +60,8 @@ class RBPHDConfig:
     map_capacity: int = 256          # padded GM size per particle
     z_capacity: int = 16             # padded measurement-set size
     new_capacity: int = 64           # cap on new Gaussians kept per update
+    new_per_z: int = 4               # per-measurement new-Gaussian cap (see
+                                     # _map_update's hierarchical selection)
     birth_capacity: int = 16         # birth-candidate list capacity
     eval_capacity: int = 15          # importanceWeightingEvalPointCount_
     z_dp_max: int = 10               # exact-DP column budget for RFS likelihood
@@ -189,7 +191,7 @@ class RBPHDFilter:
             # immediate birth for every unused measurement
             new_alive = unused
             w_new = jnp.where(new_alive, cfg.birth_gaussian_weight, 0.0)
-            gm = gm_ops.append(state.gm, inv_mean, inv_cov, w_new, new_alive)
+            gm = gm_ops.replace_weakest(state.gm, inv_mean, inv_cov, w_new, new_alive)
             return gm, birth
 
         # ---- candidate matching
@@ -233,7 +235,7 @@ class RBPHDFilter:
         immediate = is_new & few_in_fov[:, None]
         to_insert = is_new & ~immediate
 
-        gm = gm_ops.append(
+        gm = gm_ops.replace_weakest(
             state.gm, inv_mean, inv_cov,
             jnp.where(immediate, cfg.birth_gaussian_weight, 0.0), immediate,
         )
@@ -284,7 +286,7 @@ class RBPHDFilter:
             enough | (checks > cfg.birth_check_threshold) | few_in_fov[:, None]
         )
         promote = trigger & (enough | few_in_fov[:, None])
-        gm = gm_ops.append(
+        gm = gm_ops.replace_weakest(
             gm, birth.mean, birth.cov,
             jnp.where(promote, cfg.birth_gaussian_weight, 0.0), promote,
         )
@@ -400,23 +402,59 @@ class RBPHDFilter:
         used = jnp.any(w_tab > 0.0, axis=2)                        # [P, Zc]
         unused = z_mask[None, :] & ~used
 
-        # ---------- new Gaussians, compacted to new_capacity
-        new_w_flat = w_tab.reshape(P, Zc * M)
-        k = min(cfg.new_capacity, M * Zc)
-        top_w, top_idx = jax.lax.top_k(new_w_flat, k)
-        z_idx = top_idx // M
-        m_idx = top_idx % M
-        # two-step gather: z rows along the sublane axis, then a one-hot
-        # reduce over the landmark (lane) axis
-        mean_zsel = jnp.take_along_axis(
-            corr.mean_upd, z_idx[None, :, :, None], axis=2
-        )                                                          # [D,P,k,M]
+        # ---------- new Gaussians (RBPHDFilter.hpp:675-683): top-k cells of
+        # the weight table become new map entries.  Updated means are
+        # reconstructed ONLY at the k selected cells from the Kalman-gain
+        # planes (m + K nu, KalmanFilter.hpp:261-342) — materializing the
+        # full [D, P, Z, M] mean cube and gathering from it dominated the
+        # map-update's HBM traffic.
+        #
+        # Selection is hierarchical: per-measurement top-``new_per_z`` over
+        # the landmark lanes (iterated max — no sort), then an exact top-k
+        # over the Zc * new_per_z survivors.  A flat top_k over the
+        # [P, Zc * M] table was the single hottest op of the whole step
+        # (0.89 ms of a 2.7 ms step at bench shapes); the MD gate keeps only
+        # a few landmarks per measurement column, so per-column truncation
+        # at new_per_z is the same deviation class as the new_capacity cap.
+        T_pz = min(cfg.new_per_z, M)
+        m_ids = jnp.arange(M)
+        v = w_tab
+        col_vals, col_midx = [], []
+        for _ in range(T_pz):
+            am = jnp.argmax(v, axis=2)                             # [P,Zc]
+            col_vals.append(jnp.max(v, axis=2))
+            col_midx.append(am)
+            v = jnp.where(m_ids[None, None, :] == am[:, :, None], 0.0, v)
+        cand_w = jnp.concatenate(col_vals, axis=1)                 # [P,Zc*T]
+        cand_m = jnp.concatenate(col_midx, axis=1)
+        cand_z = jnp.tile(jnp.arange(Zc), T_pz)[None, :]           # [1,Zc*T]
+        k = min(cfg.new_capacity, Zc * T_pz)
+        top_w, top_c = jax.lax.top_k(cand_w, k)                    # [P,k]
+        z_idx = jnp.take_along_axis(
+            jnp.broadcast_to(cand_z, cand_m.shape), top_c, axis=1)
+        m_idx = jnp.take_along_axis(cand_m, top_c, axis=1)
         ohm = planar.onehot(m_idx, M, w_tab.dtype)                 # [P,k,M]
-        new_mean = jnp.sum(mean_zsel * ohm[None], axis=-1)         # [D,P,k]
-        new_cov = planar.take_lane(corr.cov_upd, ohm[None])        # [T,P,k]
+        dz = z.shape[-1]
+        # one fused lane-gather for every per-landmark plane we need
+        planes = jnp.concatenate(
+            [gm.mean, corr.K, corr.z_exp, corr.cov_upd], axis=0
+        )                                                          # [X,P,M]
+        sel = planar.take_lane(planes, ohm[None])                  # [X,P,k]
+        mean_sel, K_sel, zexp_sel, new_cov = (
+            sel[:D], sel[D:D + D * dz],
+            sel[D + D * dz:D + D * dz + dz], sel[D + D * dz + dz:],
+        )
+        z_sel = [jnp.take(z[:, e], z_idx) for e in range(dz)]      # [P,k]
+        innov_sel, _ = self.gates.innovation_p(
+            [zexp_sel[e] for e in range(dz)], z_sel)
+        new_mean = jnp.stack(
+            [mean_sel[d] + sum(K_sel[d * dz + e] * innov_sel[e]
+                               for e in range(dz))
+             for d in range(D)]
+        )                                                          # [D,P,k]
         new_alive = top_w > 0.0
-        gm_full = gm_ops.append(gm_old, new_mean, new_cov, top_w, new_alive,
-                                capacity=cfg.map_capacity)
+        gm_full = gm_ops.replace_weakest(gm_old, new_mean, new_cov, top_w,
+                                         new_alive, sorted_desc=True)
         return gm_full, log_w, unused, n_in_fov, clutter_z
 
     def _resample_phase(self, state: RBPHDState, gm_full, log_w, unused,

@@ -75,6 +75,9 @@ class Odometry2D(struct.PyTreeNode):
         input_cov: jax.Array | None = None,
     ) -> jax.Array:
         k_in, k_add = jax.random.split(key)
+        # broadcast u over the pose batch so input noise is drawn
+        # per-particle (ProcessModel::sample draws per call/particle)
+        u = jnp.broadcast_to(u, pose.shape[:-1] + u.shape[-1:])
         u = _maybe_sample_input(k_in, u, use_input_noise, input_cov)
         out = self.step(pose, u, dt)
         if use_model_noise:
@@ -94,6 +97,9 @@ class Odometry1D(struct.PyTreeNode):
     def sample(self, key, pose, u, dt, use_model_noise=True, use_input_noise=False,
                input_cov=None):
         k_in, k_add = jax.random.split(key)
+        # broadcast u over the pose batch so input noise is drawn
+        # per-particle (ProcessModel::sample draws per call/particle)
+        u = jnp.broadcast_to(u, pose.shape[:-1] + u.shape[-1:])
         u = _maybe_sample_input(k_in, u, use_input_noise, input_cov)
         out = self.step(pose, u, dt)
         if use_model_noise:
@@ -138,6 +144,9 @@ class Ackerman2D(struct.PyTreeNode):
     def sample(self, key, pose, u, dt, use_model_noise=True, use_input_noise=False,
                input_cov=None):
         k_in, k_add = jax.random.split(key)
+        # broadcast u over the pose batch so input noise is drawn
+        # per-particle (ProcessModel::sample draws per call/particle)
+        u = jnp.broadcast_to(u, pose.shape[:-1] + u.shape[-1:])
         u = _maybe_sample_input(k_in, u, use_input_noise, input_cov)
         out = self.step(pose, u, dt)
         if use_model_noise:

@@ -97,12 +97,18 @@ class PlanarCorrection(NamedTuple):
 
     Shapes: P = particles, Z = measurements, M = landmarks, D = landmark dim,
     DZ = measurement dim, T/TZ = packed-triangle sizes.
+
+    Per-measurement updated means are NOT materialized (a [D, P, Z, M] cube
+    dominated the map-update's HBM traffic); instead the Kalman gain planes
+    ``K`` are returned and consumers reconstruct means only where needed:
+    ``mean_upd[d] = lm_mean[d] + sum_e K[d*DZ+e] * innov[e]`` (see
+    :func:`updated_mean_planes`).
     """
 
     z_exp: jax.Array     # [DZ, P, M]
     S: jax.Array         # [TZ, P, M]  innovation covariance (packed)
     cov_upd: jax.Array   # [T, P, M]   shared across measurements (packed)
-    mean_upd: jax.Array  # [D, P, Z, M] per-measurement updated means
+    K: jax.Array         # [D*DZ, P, M] Kalman gain planes (row-major)
     likelihood: jax.Array  # [P, Z, M]  N(z; z_exp, S), 0 where invalid
     md2: jax.Array       # [P, Z, M]
     valid: jax.Array     # [P, Z, M] bool (measure-valid & gates passed)
@@ -163,17 +169,34 @@ def correct_all(model, gates: InnovationGates, pose: jax.Array,
     valid = gate_ok & pred.valid[:, None, :]
     lik = jnp.where(valid, lik, 0.0)
 
-    mean_upd = jnp.stack(
-        [
-            lm_mean[d][:, None, :]
-            + sum(K[d][e][:, None, :] * innov[e] for e in range(DZ))
-            for d in range(D)
-        ]
-    )                                                       # [D, P, Z, M]
     return PlanarCorrection(
         z_exp=jnp.stack(list(pred.z)), S=pred.S, cov_upd=cov_upd,
-        mean_upd=mean_upd, likelihood=lik, md2=md2, valid=valid,
+        K=jnp.stack([K[d][e] for d in range(D) for e in range(DZ)]),
+        likelihood=lik, md2=md2, valid=valid,
         measure_valid=pred.valid,
+    )
+
+
+def updated_mean_planes(corr: PlanarCorrection, gates: InnovationGates,
+                        lm_mean: jax.Array, z: jax.Array,
+                        d: int) -> jax.Array:
+    """Dense per-measurement updated means ``[D, P, Z, M]``.
+
+    Boundary/test use only — the filter hot path reconstructs means at
+    selected (z, m) cells instead of materializing this cube
+    (KalmanFilter.hpp:261-342's per-measurement ``m + K nu``).
+    """
+    dz = corr.z_exp.shape[0]
+    z_act = [z[:, e][None, :, None] for e in range(dz)]
+    z_exp_b = [corr.z_exp[e][:, None, :] for e in range(dz)]
+    innov, _ = gates.innovation_p(z_exp_b, z_act)
+    return jnp.stack(
+        [
+            lm_mean[i][:, None, :]
+            + sum(corr.K[i * dz + e][:, None, :] * innov[e]
+                  for e in range(dz))
+            for i in range(d)
+        ]
     )
 
 

@@ -80,6 +80,64 @@ def append(gm: GMState, mean, cov, w, alive, capacity: int | None = None) -> GMS
     return compact(out, capacity)
 
 
+def replace_weakest(gm: GMState, mean, cov, w, alive,
+                    sorted_desc: bool = False) -> GMState:
+    """Insert K new Gaussians by replacing the K weakest slots — the exact
+    fixed-shape equivalent of ``append`` + ``compact`` (top-capacity of the
+    union) without the capacity+K concat and the (capacity+K)-wide sort.
+
+    Two-pointer exchange: with the K weakest old slots in ascending order
+    v_1 <= ... <= v_K and the new weights in descending order
+    n_1 >= ... >= n_K, the kept set ``old \\ {v_i : n_i > v_i} + {n_i :
+    n_i > v_i}`` is the top-capacity of the union (the predicate
+    ``n_i > v_i`` is monotone over i, so exactly the j largest new entries
+    displace the j smallest old ones).  Ties keep the old slot (same weight
+    multiset either way).
+
+    ``mean``: [D, P, K], ``cov``: [T, P, K] planes; ``w``/``alive``: [P, K].
+    ``sorted_desc``: set when (w, alive) columns are already sorted by
+    descending score (e.g. straight out of ``top_k``) to skip the K-sort.
+    """
+    P, K = w.shape
+    score_new = jnp.where(alive, w, -_BIG)
+    if not sorted_desc:
+        score_new, order = jax.lax.top_k(score_new, K)
+        oh = planar.onehot(order, K, gm.w.dtype)        # [P, K, K]
+        mean = planar.take_lane(mean, oh[None])
+        cov = planar.take_lane(cov, oh[None])
+        w = planar.take_lane(w, oh)
+        alive = planar.take_lane(alive.astype(gm.w.dtype), oh) > 0.5
+
+    if K > gm.capacity:
+        # only the strongest `capacity` new entries can possibly enter
+        # (columns are sorted descending at this point)
+        K = gm.capacity
+        mean, cov = mean[:, :, :K], cov[:, :, :K]
+        w, alive, score_new = w[:, :K], alive[:, :K], score_new[:, :K]
+    score_old = jnp.where(gm.alive, gm.w, -_BIG)
+    neg_v, victim = jax.lax.top_k(-score_old, K)        # weakest K, ascending
+    repl = score_new > -neg_v                           # [P, K] prefix-true
+    oh_v = planar.onehot(victim, gm.capacity, gm.w.dtype) * repl[..., None]
+    keep = jnp.sum(oh_v, axis=1) < 0.5                  # [P, M] untouched
+
+    def insert_pm(old, new):
+        return (jnp.where(keep, old, 0.0)
+                + jnp.einsum("pkm,pk->pm", oh_v, new))
+
+    def insert_pl(old, new):
+        return (jnp.where(keep[None], old, 0.0)
+                + jnp.einsum("pkm,xpk->xpm", oh_v, new))
+
+    alive_f = alive.astype(gm.w.dtype)
+    return GMState(
+        mean=insert_pl(gm.mean, mean),
+        cov=insert_pl(gm.cov, cov),
+        w=insert_pm(gm.w, w),
+        w_prev=insert_pm(gm.w_prev, jnp.zeros_like(w)),
+        alive=(insert_pm(gm.alive.astype(gm.w.dtype), alive_f) > 0.5),
+    )
+
+
 def _merge_pass(gm: GMState, t2, f_inflation):
     """One parallel pass of disjoint pairwise merges.
 
@@ -99,7 +157,11 @@ def _merge_pass(gm: GMState, t2, f_inflation):
     upper = idx[None, :, None] < idx[None, None, :]
     gate = both_alive & upper & ((d2_ij <= t2) | (d2_ji <= t2))
 
-    # lowest-index i claims each j; each i merges with its lowest claimed j
+    # lowest-index i claims each j; each i merges with its lowest claimed j.
+    # NOTE: pair choice depends on slot order — callers sort slots by
+    # descending weight first (gm_ops.merge does) so heavier Gaussians
+    # absorb lighter ones, matching the reference's mostly-weight-sorted
+    # vector order (prune re-sorts it every update, GaussianMixture.hpp:477).
     i_ids = jnp.broadcast_to(idx[None, :, None], gate.shape)
     first_i = jnp.min(jnp.where(gate, i_ids, M), axis=1)       # [P, j]
     claimed = gate & (i_ids == first_i[:, None, :])
@@ -151,10 +213,16 @@ def merge(gm: GMState, threshold, f_inflation, max_passes: int = 8,
           impl: str | None = None) -> GMState:
     """Merge until fixed point (bounded passes).
 
-    Reference: GaussianMixture.hpp:394-416 (O(M^2) greedy in-order scan).
+    Reference: GaussianMixture.hpp:394-416 (O(M^2) greedy in-order scan —
+    the vector is weight-sorted from the previous update's prune, so heavier
+    Gaussians absorb lighter ones).  Slots are sorted by descending weight at
+    entry to reproduce that: the pass's lowest-index-first pair claiming is
+    slot-order dependent, and unsorted entry measurably degrades the filter
+    (bench median pose error 0.03 -> 0.17 m).
     ``impl``: "pallas" | "xla" | None (auto: the Pallas kernel on TPU for 2-D
     mixtures with lane-aligned capacity).
     """
+    gm = compact(gm, gm.capacity)
     if impl is None:
         default_dev = jax.config.jax_default_device
         platform = (default_dev.platform if default_dev is not None

@@ -145,3 +145,32 @@ def propagate_only(g):
 
 scan_time("  birth gaussians only", birth_only, gm)
 scan_time("  propagate only", propagate_only, gm)
+
+
+# ---- selection-path microprobes
+import jax.numpy as jnp  # noqa: E402
+
+
+def topk_only(g):
+    w_flat = (g.w[:, None, :] * jnp.ones((1, ZC, 1))).reshape(P, ZC * M)
+    tw, ti = jax.lax.top_k(w_flat, 48)
+    return g.replace(w=g.w + jnp.sum(tw, axis=1, keepdims=True) * 1e-12
+                     + jnp.sum(ti, axis=1, keepdims=True) * 0.0)
+
+
+def approx_topk_only(g):
+    w_flat = (g.w[:, None, :] * jnp.ones((1, ZC, 1))).reshape(P, ZC * M)
+    tw, ti = jax.lax.approx_max_k(w_flat, 48)
+    return g.replace(w=g.w + jnp.sum(tw, axis=1, keepdims=True) * 1e-12
+                     + jnp.sum(ti, axis=1, keepdims=True) * 0.0)
+
+
+def replace_weakest_only(g):
+    return gm_ops.replace_weakest(
+        g, g.mean[:, :, :48], g.cov[:, :, :48], g.w[:, :48] * 0.5,
+        g.alive[:, :48], sorted_desc=True)
+
+
+scan_time("  topk 5120->48", topk_only, gm)
+scan_time("  approx topk 5120->48", approx_topk_only, gm)
+scan_time("  replace_weakest(48)", replace_weakest_only, gm)

@@ -5,7 +5,8 @@ import jax.numpy as jnp
 
 from rfs_slam_tpu.core import planar
 from rfs_slam_tpu.models.measurement import RangeBearing
-from rfs_slam_tpu.ops.ekf import InnovationGates, correct_all, correct_single
+from rfs_slam_tpu.ops.ekf import (InnovationGates, correct_all,
+                                  correct_single, updated_mean_planes)
 
 
 def numpy_ekf_correct(pose, lm_mean, lm_cov, z, R):
@@ -68,6 +69,8 @@ def test_correct_all_matches_single(rng):
         model, gates, jnp.asarray(poses),
         planar.pack_vec(jnp.asarray(lm_mean)),
         planar.pack_sym(jnp.asarray(lm_cov)), jnp.asarray(z))
+    mean_upd = updated_mean_planes(
+        out, gates, planar.pack_vec(jnp.asarray(lm_mean)), jnp.asarray(z), 2)
     for p in range(P_):
         for m in range(M_):
             for k in range(Z_):
@@ -78,7 +81,7 @@ def test_correct_all_matches_single(rng):
                     jnp.asarray(z[k])
                 )
                 np.testing.assert_allclose(
-                    np.asarray(out.mean_upd[:, p, k, m]), np.asarray(m1),
+                    np.asarray(mean_upd[:, p, k, m]), np.asarray(m1),
                     rtol=2e-2, atol=2e-2
                 )
                 np.testing.assert_allclose(

@@ -1,5 +1,7 @@
 """Integration tests: FastSLAM 1.0 and MH-FastSLAM on the short 2-D sim."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -90,8 +92,16 @@ def test_mh_fastslam_runs(short_sim):
     assert np.isfinite(best_poses).all()
     err = np.linalg.norm(best_poses[:, :2] - data.gt_pose[1:, :2], axis=1)
     assert np.median(err[150:]) < 1.0
-    # particle count stays fixed at n_particles after every update
-    assert state.particles.pose.shape[0] == 8
+    # grow mode (reference FastSLAM.hpp:335, 728-757): the particle axis is
+    # nParticlesMax = 3 * n, and the LIVE set (finite weights) stays within
+    # [n, 3n]
+    assert state.particles.pose.shape[0] == 24
+    n_live = int(np.isfinite(np.asarray(state.particles.log_w)).sum())
+    assert 8 <= n_live <= 24
+    # live weights are normalized
+    lw = np.asarray(state.particles.log_w)
+    np.testing.assert_allclose(
+        np.exp(lw[np.isfinite(lw)]).sum(), 1.0, rtol=1e-4)
 
 
 def test_existence_log_odds_hand_computed():
@@ -130,3 +140,30 @@ def test_existence_log_odds_hand_computed():
     dw = existence_log_odds_delta(pd, p_fa, prior, updated=True, locked=False)
     np.testing.assert_allclose(
         float(dw), math.log(p_up / (1 - p_up)), rtol=1e-6)
+
+
+def test_mh_growth_semantics(short_sim):
+    """The live particle set grows by hypothesis expansion and collapses to
+    n_particles on the force/ESS resample (FastSLAM.hpp:728-757)."""
+    import jax
+
+    sim_cfg, data = short_sim
+    # huge gates: no ESS resample unless forced by count > nParticlesMax;
+    # huge log-lik window so every valid Murty hypothesis is kept
+    filt = build_filter(sim_cfg, n_particles=4, max_hypotheses=3)
+    cfg = dataclasses.replace(filt.cfg, min_updates_before_resample=10**6,
+                              ess_threshold=0.0, max_da_loglik_diff=1e6)
+    filt = FastSLAMFilter(filt.motion, filt.lmk, filt.meas, filt.gates, cfg)
+    state = filt.init_state(jax.random.PRNGKey(0), jnp.zeros(3))
+    assert state.particles.pose.shape[0] == 12
+    counts = [int(np.isfinite(np.asarray(state.particles.log_w)).sum())]
+    for t in range(1, 10):
+        state = filt.predict(state, jnp.asarray(data.odometry[t]), sim_cfg.dt)
+        state = filt.update(state, jnp.asarray(data.z[t]),
+                            jnp.asarray(data.z_mask[t]))
+        counts.append(int(np.isfinite(np.asarray(state.particles.log_w)).sum()))
+    # grows past n_particles at least once, never exceeds nParticlesMax,
+    # and collapses back to n_particles after a forced resample
+    assert max(counts) > 4
+    assert max(counts) <= 12
+    assert any(c == 4 for c in counts[1:]) or counts[-1] <= 12

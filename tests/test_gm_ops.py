@@ -84,3 +84,66 @@ def test_append_compacts():
     out = gm_ops.append(g, new_mean, new_cov, new_w, new_alive)
     # capacity 2: keeps 0.8 and 0.5, drops 0.1
     np.testing.assert_allclose(np.asarray(out.w[0]), [0.8, 0.5])
+
+
+def test_replace_weakest_matches_append_compact(rng):
+    """replace_weakest == top-capacity of the union (= append + compact),
+    compared as weight multisets + exact member sets (weights distinct)."""
+    from rfs_slam_tpu.core import planar
+    P, M, K = 4, 12, 5
+    mean = planar.pack_vec(jnp.asarray(rng.normal(size=(P, M, 2)), jnp.float32))
+    cov = planar.pack_sym(jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32),
+                                           (P, M, 2, 2)))
+    w = jnp.asarray(rng.uniform(0.01, 1.0, size=(P, M)), jnp.float32)
+    alive = jnp.asarray(rng.uniform(size=(P, M)) < 0.8)
+    g = gm_ops.GMState(mean=mean, cov=cov, w=w, w_prev=jnp.zeros_like(w),
+                       alive=alive)
+    n_mean = planar.pack_vec(jnp.asarray(rng.normal(size=(P, K, 2)),
+                                         jnp.float32))
+    n_cov = planar.pack_sym(jnp.broadcast_to(
+        jnp.eye(2, dtype=jnp.float32) * 2.0, (P, K, 2, 2)))
+    n_w = jnp.asarray(rng.uniform(0.01, 1.0, size=(P, K)), jnp.float32)
+    n_alive = jnp.asarray(rng.uniform(size=(P, K)) < 0.7)
+
+    ref = gm_ops.append(g, n_mean, n_cov, n_w, n_alive)
+    out = gm_ops.replace_weakest(g, n_mean, n_cov, n_w, n_alive)
+    assert out.w.shape == (P, M)
+    for p in range(P):
+        ref_a = np.asarray(ref.alive[p])
+        out_a = np.asarray(out.alive[p])
+        assert ref_a.sum() == out_a.sum()
+        rw = np.sort(np.asarray(ref.w[p])[ref_a])
+        ow = np.sort(np.asarray(out.w[p])[out_a])
+        np.testing.assert_allclose(ow, rw, rtol=1e-6)
+        # members match exactly: sort means of alive slots by weight
+        r_ord = np.argsort(np.asarray(ref.w[p])[ref_a])
+        o_ord = np.argsort(np.asarray(out.w[p])[out_a])
+        rm = np.asarray(planar.unpack_vec(ref.mean)[p])[ref_a][r_ord]
+        om = np.asarray(planar.unpack_vec(out.mean)[p])[out_a][o_ord]
+        np.testing.assert_allclose(om, rm, rtol=1e-6)
+        # inserted entries carry w_prev = 0, survivors keep theirs
+        np.testing.assert_allclose(
+            np.sort(np.asarray(out.w_prev[p])[out_a]),
+            np.sort(np.asarray(ref.w_prev[p])[ref_a]), rtol=1e-6)
+
+
+def test_replace_weakest_more_new_than_capacity(rng):
+    from rfs_slam_tpu.core import planar
+    P, M, K = 2, 4, 7
+    mean = planar.pack_vec(jnp.asarray(rng.normal(size=(P, M, 2)), jnp.float32))
+    cov = planar.pack_sym(jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32),
+                                           (P, M, 2, 2)))
+    w = jnp.asarray(rng.uniform(0.01, 1.0, size=(P, M)), jnp.float32)
+    g = gm_ops.GMState(mean=mean, cov=cov, w=w, w_prev=jnp.zeros_like(w),
+                       alive=jnp.ones((P, M), bool))
+    n_mean = planar.pack_vec(jnp.asarray(rng.normal(size=(P, K, 2)), jnp.float32))
+    n_cov = planar.pack_sym(jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32),
+                                             (P, K, 2, 2)))
+    n_w = jnp.asarray(rng.uniform(0.01, 1.0, size=(P, K)), jnp.float32)
+    n_alive = jnp.ones((P, K), bool)
+    ref = gm_ops.append(g, n_mean, n_cov, n_w, n_alive)
+    out = gm_ops.replace_weakest(g, n_mean, n_cov, n_w, n_alive)
+    for p in range(P):
+        np.testing.assert_allclose(
+            np.sort(np.asarray(out.w[p])[np.asarray(out.alive[p])]),
+            np.sort(np.asarray(ref.w[p])[np.asarray(ref.alive[p])]), rtol=1e-6)
