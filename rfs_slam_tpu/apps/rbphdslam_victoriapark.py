@@ -212,9 +212,17 @@ def run(filt: RBPHDFilter, input_cov, frames: vp_io.VPFrames,
 
 
 def gps_rmse(times, best_poses, gps):
-    """Trajectory error vs GPS fixes (position only, nearest-time match)."""
-    idx = np.searchsorted(times, gps[:, 0])
-    idx = np.clip(idx, 0, len(times) - 1)
+    """Trajectory error vs GPS fixes (position only).
+
+    Each GPS fix is matched to the NEAREST estimate time on either side
+    (searchsorted alone returns the next frame at-or-after, which scored the
+    trajectory asymmetrically) and scored when within the 0.5 s window.
+    """
+    right = np.clip(np.searchsorted(times, gps[:, 0]), 0, len(times) - 1)
+    left = np.clip(right - 1, 0, len(times) - 1)
+    d_right = np.abs(times[right] - gps[:, 0])
+    d_left = np.abs(times[left] - gps[:, 0])
+    idx = np.where(d_left < d_right, left, right)
     ok = np.abs(times[idx] - gps[:, 0]) < 0.5
     if ok.sum() == 0:
         return float("nan")

@@ -285,3 +285,36 @@ def test_update_at_origin_keeps_planes_finite():
     w = np.asarray(state.gm.w[0])[np.asarray(state.gm.alive[0])]
     assert np.isfinite(np.asarray(state.gm.mean)).all()
     assert w.max() > 0.5
+
+
+def test_with_scan_end_to_end(tmp_path):
+    """Drive the full scan-dependent Pd path (MeasurementModel_VictoriaPark
+    .cpp:202-265) end-to-end: synthesize a LASER.txt consistent with
+    measurements.dat, load it through the frame builder, and run the VP app
+    loop over a short stream."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import synth_laser
+
+    from rfs_slam_tpu.apps import rbphdslam_victoriapark as app
+    from rfs_slam_tpu.io import victoria_park as vp_io
+    from rfs_slam_tpu.io.xmlconfig import XmlConfig
+
+    out = str(tmp_path / "scan_data")
+    synth_laser.synthesize("/root/reference/data/VictoriaPark", out,
+                           messages=600)
+    cfg = XmlConfig("/root/reference/cfg/rbphdslam_VictoriaPark.xml")
+    filt, input_cov, ack = app.build(cfg, z_capacity=24, map_capacity=32,
+                                     n_particles=4)
+    frames = vp_io.load(out, scale_ur=cfg.get("process.ur_scale", 1.0),
+                        z_capacity=24, n_messages=600, ackerman=ack)
+    assert frames.scans is not None and frames.scans.shape[1] == 361
+    assert (frames.scans > 0).any()
+    state, outs, _ = app.run(filt, input_cov, frames, seed=1)
+    poses = outs[0]
+    assert np.isfinite(poses).all()
+    # scan-based Pd actually engaged: scans carry real returns under r_max
+    assert (frames.scans < 74.0).any()
