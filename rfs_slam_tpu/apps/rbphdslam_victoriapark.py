@@ -41,7 +41,7 @@ from rfs_slam_tpu.ops.ekf import InnovationGates
 
 
 def build(cfg: XmlConfig, z_capacity: int, map_capacity: int,
-          n_particles: int | None):
+          n_particles: int | None, z_dp_max: int = 8):
     """Wiring per rbphdslam_VictoriaPark.cpp:360-400."""
     n_particles = n_particles or cfg.get("filter.nParticles", 100, int)
     z_infl = cfg.get("filter.update.measurementNoiseInflationFactor", 1.0)
@@ -96,7 +96,7 @@ def build(cfg: XmlConfig, z_capacity: int, map_capacity: int,
         new_capacity=48,
         birth_capacity=24,
         eval_capacity=cfg.get("filter.weighting.nEvalPt", 15, int),
-        z_dp_max=8,
+        z_dp_max=z_dp_max,
         birth_gaussian_weight=cfg.get("filter.predict.birthGaussian.Weight", 0.01),
         birth_count_threshold=cfg.get(
             "filter.predict.birthGaussian.SupportMeasurementThreshold", 5, int),
@@ -239,6 +239,10 @@ def main(argv=None):
     ap.add_argument("--logdir", default=None)
     ap.add_argument("--particles", type=int, default=None)
     ap.add_argument("--map-capacity", type=int, default=512)
+    ap.add_argument("--z-dp-max", type=int, default=8,
+                    help="exact-DP column budget of the RFS likelihood "
+                         "(reference approximates with Murty-200, "
+                         "RBPHDFilter.hpp:920-959)")
     ap.add_argument("--seed", type=int, default=0)
     _vp_common.add_ckpt_args(ap)
     args = ap.parse_args(argv)
@@ -248,7 +252,8 @@ def main(argv=None):
         "filter.nMsgToProcess", 0, int)
     filt, input_cov, ack = build(cfg, z_capacity=24,
                                  map_capacity=args.map_capacity,
-                                 n_particles=args.particles)
+                                 n_particles=args.particles,
+                                 z_dp_max=args.z_dp_max)
     frames = vp_io.load(args.data, scale_ur=cfg.get("process.ur_scale", 1.0),
                         z_capacity=24, n_messages=n_msgs, ackerman=ack)
     F = len(frames.t)

@@ -82,18 +82,27 @@ def hungarian(cost: jax.Array):
         st = (minv, used, way, (u, v), jnp.int32(0), p, jnp.int32(0))
         minv, used, way, (u, v), j0, p, _ = jax.lax.while_loop(cond2, body, st)
 
-        # augment along parent links
+        # augment along parent links.  BOUND the walk: if the search loop
+        # above exited via its iteration cap (f32 potential drift can trip
+        # it on TPU, where fusion order rounds differently than CPU), `way`
+        # may hold a broken or cyclic chain — an unbounded walk then spins
+        # until the device watchdog kills the worker ("TPU kernel fault",
+        # observed on the FastSLAM whole-run scan).  A capped walk degrades
+        # that pathological row to a possibly suboptimal assignment instead
+        # of crashing; exactness on sane inputs is unchanged (the chain
+        # length is at most n+1).
         def aug_cond(st):
-            j0, _ = st
-            return j0 != 0
+            j0, _, it = st
+            return (j0 != 0) & (it <= n + 1)
 
         def aug_body(st):
-            j0, p_ = st
+            j0, p_, it = st
             j1 = way[j0]
             p_ = p_.at[j0].set(p_[j1])
-            return j1, p_
+            return j1, p_, it + 1
 
-        _, p = jax.lax.while_loop(aug_cond, aug_body, (j0, p))
+        _, p, _ = jax.lax.while_loop(aug_cond, aug_body,
+                                     (j0, p, jnp.int32(0)))
         p = p.at[0].set(0)
         return u, v, p
 
@@ -150,26 +159,38 @@ def murty(cost: jax.Array, k: int,
     nC = jnp.asarray(nC)
     pool = k * max(partition_bound, 1) + 1
 
-    # subproblem: forced[r] = col forced for row r (-1 free); banned[r, c]
+    # subproblem representation: forced[r] = col forced for row r (-1 free);
+    # bans as a COMPACT list of at most k entries (ban_r, ban_c, ban_aug) —
+    # a Murty child adds exactly one ban to its parent and tree depth is
+    # bounded by k, so a dense [pool, n, n] ban cube (83 MB at FastSLAM
+    # bench shapes, and implicated in a TPU worker fault on the
+    # murty-in-scan program) is never needed.  ban_aug marks the reference's
+    # augmented-column widening (MurtyAlgorithm.cpp:255-262): ban the row
+    # from EVERY column >= nC.
     forced0 = jnp.full((pool, n), -1, jnp.int32)
-    banned0 = jnp.zeros((pool, n, n), bool)
+    ban_r0 = jnp.full((pool, k), -1, jnp.int32)
+    ban_c0 = jnp.zeros((pool, k), jnp.int32)
+    ban_aug0 = jnp.zeros((pool, k), bool)
     sol0 = jnp.zeros((pool, n), jnp.int32)
     score0 = jnp.full((pool,), -jnp.inf, cost.dtype)
     active0 = jnp.zeros((pool,), bool)
 
-    def solve(forced, banned):
-        c = jnp.where(banned, NEG, cost)
+    cols = jnp.arange(n)
+
+    def solve(forced, ban_r, ban_c, ban_aug):
+        c = cost
+        for b in range(k):
+            row_hit = cols == ban_r[b]                      # [n]
+            col_hit = (cols == ban_c[b]) | (ban_aug[b] & (cols >= nC))
+            c = jnp.where((ban_r[b] >= 0)
+                          & row_hit[:, None] & col_hit[None, :], NEG, c)
         is_forced = forced >= 0
-        forced_mask = jax.nn.one_hot(
-            jnp.where(is_forced, forced, 0), n, dtype=bool
-        ) & is_forced[:, None]
-        c = jnp.where(
-            is_forced[:, None] & ~forced_mask, NEG, c
-        )
+        forced_mask = (cols[None, :] == forced[:, None]) & is_forced[:, None]
+        c = jnp.where(is_forced[:, None] & ~forced_mask, NEG, c)
         sol, total = hungarian(c)
         return sol, total
 
-    sol, total = solve(forced0[0], banned0[0])
+    sol, total = solve(forced0[0], ban_r0[0], ban_c0[0], ban_aug0[0])
     sol0 = sol0.at[0].set(sol)
     score0 = score0.at[0].set(total)
     active0 = active0.at[0].set(True)
@@ -178,8 +199,12 @@ def murty(cost: jax.Array, k: int,
     out_scores = jnp.full((k,), -jnp.inf, cost.dtype)
     out_valid = jnp.zeros((k,), bool)
 
+    pb = max(partition_bound, 1)
+    child_rows = jnp.arange(pb)
+
     def iteration(t, carry):
-        forced, banned, sols, scores, active, out_sols, out_scores, out_valid, n_used = carry
+        (forced, ban_r, ban_c, ban_aug, sols, scores, active,
+         out_sols, out_scores, out_valid) = carry
         best = jnp.argmax(jnp.where(active, scores, -jnp.inf)).astype(jnp.int32)
         best_score = scores[best]
         best_sol = sols[best]
@@ -188,48 +213,50 @@ def murty(cost: jax.Array, k: int,
         out_scores = out_scores.at[t].set(jnp.where(ok, best_score, -jnp.inf))
         out_valid = out_valid.at[t].set(ok)
         active = active.at[best].set(False)
+        n_parent_bans = jnp.sum(ban_r[best] >= 0).astype(jnp.int32)
+        ban_slot = jnp.minimum(n_parent_bans, k - 1)
 
         # expand: child r = parent constraints + rows<r forced to best_sol,
-        # row r banned from best_sol[r]
-        def add_child(r, carry):
-            forced, banned, sols, scores, active, n_used = carry
-            slot = n_used
-            f = forced[best]
-            rows = jnp.arange(n)
-            f = jnp.where((rows < r) & (f < 0), best_sol, f)
-            b = banned[best].at[r, best_sol[r]].set(True)
-            if not all_cols_real:
-                # banned col is augmented -> ban row r from every augmented
-                # column (MurtyAlgorithm.cpp:255-262)
-                aug = jnp.arange(n) >= nC
-                b = b.at[r].set(
-                    jnp.where((best_sol[r] >= nC) & aug, True, b[r]))
-            child_valid = (ok & (forced[best][r] < 0) & (slot < pool)
-                           & (r < partition_max))
-            slot_c = jnp.minimum(slot, pool - 1)
-            s, tot = solve(f, b)
-            forced = forced.at[slot_c].set(
-                jnp.where(child_valid, f, forced[slot_c]))
-            banned = banned.at[slot_c].set(
-                jnp.where(child_valid, b, banned[slot_c]))
-            sols = sols.at[slot_c].set(jnp.where(child_valid, s, sols[slot_c]))
-            scores = scores.at[slot_c].set(
-                jnp.where(child_valid, tot, scores[slot_c]))
-            active = active.at[slot_c].set(
-                jnp.where(child_valid, True, active[slot_c]))
-            return forced, banned, sols, scores, active, n_used + jnp.where(child_valid, 1, 0)
+        # row r banned from best_sol[r].  All children of an iteration are
+        # independent — solve them in ONE vmapped batch (the sequential
+        # child loop made a murty call k*partition_bound sequential
+        # Hungarian solves; this is k).  Iteration t's children occupy pool
+        # slots [1 + t*pb, 1 + (t+1)*pb): slot usage is deterministic, so no
+        # free-slot bookkeeping is needed (pool = k*pb + 1 by construction).
+        rows = jnp.arange(n)
+        f_children = jnp.where(
+            (rows[None, :] < child_rows[:, None]) & (forced[best][None, :] < 0),
+            best_sol[None, :], forced[best][None, :])           # [pb, n]
+        br_c = jnp.broadcast_to(ban_r[best], (pb, k)).at[:, ban_slot].set(
+            child_rows)
+        bc_c = jnp.broadcast_to(ban_c[best], (pb, k)).at[:, ban_slot].set(
+            best_sol[child_rows])
+        aug_val = (jnp.zeros((pb,), bool) if all_cols_real
+                   else best_sol[child_rows] >= nC)
+        baug_c = jnp.broadcast_to(ban_aug[best], (pb, k)).at[:, ban_slot].set(
+            aug_val)
+        child_valid = ok & (forced[best][child_rows] < 0) & (
+            child_rows < partition_max)
+        sols_c, tots_c = jax.vmap(solve)(f_children, br_c, bc_c, baug_c)
+        tots_c = jnp.where(child_valid, tots_c, -jnp.inf)
 
-        forced, banned, sols, scores, active, n_used = jax.lax.fori_loop(
-            0, partition_bound, add_child,
-            (forced, banned, sols, scores, active, n_used)
-        )
-        return (forced, banned, sols, scores, active,
-                out_sols, out_scores, out_valid, n_used)
+        start = 1 + t * pb
+        upd = lambda arr, new: jax.lax.dynamic_update_slice_in_dim(
+            arr, new, start, axis=0)
+        forced = upd(forced, f_children)
+        ban_r = upd(ban_r, br_c)
+        ban_c = upd(ban_c, bc_c)
+        ban_aug = upd(ban_aug, baug_c)
+        sols = upd(sols, sols_c)
+        scores = upd(scores, tots_c)
+        active = upd(active, child_valid)
+        return (forced, ban_r, ban_c, ban_aug, sols, scores, active,
+                out_sols, out_scores, out_valid)
 
-    carry = (forced0, banned0, sol0, score0, active0,
-             out_sols, out_scores, out_valid, jnp.int32(1))
+    carry = (forced0, ban_r0, ban_c0, ban_aug0, sol0, score0, active0,
+             out_sols, out_scores, out_valid)
     carry = jax.lax.fori_loop(0, k, iteration, carry)
-    _, _, _, _, _, out_sols, out_scores, out_valid, _ = carry
+    out_sols, out_scores, out_valid = carry[7], carry[8], carry[9]
     return out_sols, out_scores, out_valid
 
 
