@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rfs_slam_tpu.apps import _vp_common
 from rfs_slam_tpu.filters.fastslam import FastSLAMConfig, FastSLAMFilter
 from rfs_slam_tpu.io import logs, sim2d
 from rfs_slam_tpu.io.xmlconfig import XmlConfig, load_sim2d
@@ -73,7 +74,16 @@ def build_filter_from_xml(cfg: XmlConfig, sim_cfg: sim2d.Sim2DConfig,
     return FastSLAMFilter(motion, lmk, meas, gates, fcfg)
 
 
-def run(filt, sim_cfg, data, gt_lock_steps: int = 100):
+def run(filt, sim_cfg, data, gt_lock_steps: int = 100, chunk: int = 500):
+    """Chunked whole-run scan.
+
+    ``chunk`` bounds the duration of a single device dispatch: this host's
+    TPU relay kills any execute RPC past roughly a minute ("TPU worker
+    crashed / kernel fault" — measured: a 23 s dispatch of the RB-PHD step
+    survives, a ~68 s one does not), so whole-run scans are split with a
+    host round-trip between chunks (identical math; the RNG key lives in
+    the filter state).
+    """
     state = filt.init_state(jax.random.PRNGKey(0), jnp.zeros(3))
     T = sim_cfg.timesteps
 
@@ -93,22 +103,21 @@ def run(filt, sim_cfg, data, gt_lock_steps: int = 100):
                        jnp.stack([gm.mean[0, best], gm.mean[1, best]], axis=-1),
                        cov_packed, gm.w[best], gm.alive[best])
 
-    inputs = (
-        jnp.asarray(data.odometry[1:], jnp.float32),
-        jnp.asarray(data.z[1:], jnp.float32),
-        jnp.asarray(data.z_mask[1:]),
-        jnp.asarray(data.gt_pose[1:], jnp.float32),
-        jnp.arange(1, T) <= gt_lock_steps,
-    )
+    inputs_np = [
+        np.asarray(data.odometry[1:], np.float32),
+        np.asarray(data.z[1:], np.float32),
+        np.asarray(data.z_mask[1:]),
+        np.asarray(data.gt_pose[1:], np.float32),
+        np.asarray(np.arange(1, T) <= gt_lock_steps),
+    ]
 
     @jax.jit
-    def scan(state, inputs):
+    def scan_all(state, inputs):
         return jax.lax.scan(step, state, inputs)
 
-    t0 = time.time()
-    state, outs = scan(state, inputs)
-    jax.block_until_ready(outs)
-    return state, jax.tree_util.tree_map(np.asarray, outs), time.time() - t0
+    return _vp_common.chunked_scan(scan_all, state, inputs_np,
+                                   ckpt_every=min(chunk, T - 1),
+                                   progress=False)
 
 
 def main(argv=None):

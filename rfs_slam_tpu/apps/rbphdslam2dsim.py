@@ -86,8 +86,11 @@ def build_filter_from_xml(cfg: XmlConfig, sim_cfg: sim2d.Sim2DConfig,
 
 
 def run(filt: RBPHDFilter, sim_cfg: sim2d.Sim2DConfig, data: sim2d.Sim2DData,
-        gt_lock_steps: int = 100):
-    """Whole-run device scan; returns per-step logs (host numpy)."""
+        gt_lock_steps: int = 100, chunk: int = 1000):
+    """Chunked whole-run device scan; returns per-step logs (host numpy).
+
+    ``chunk`` bounds single-dispatch duration — this host's TPU relay kills
+    execute RPCs past roughly a minute (see apps/fastslam2dsim.run)."""
     state = filt.init_state(jax.random.PRNGKey(0), jnp.zeros(3))
     T = sim_cfg.timesteps
 
@@ -113,23 +116,23 @@ def run(filt: RBPHDFilter, sim_cfg: sim2d.Sim2DConfig, data: sim2d.Sim2DData,
         )
         return state, out
 
-    inputs = (
-        jnp.asarray(data.odometry[1:], jnp.float32),
-        jnp.asarray(data.z[1:], jnp.float32),
-        jnp.asarray(data.z_mask[1:]),
-        jnp.asarray(data.gt_pose[1:], jnp.float32),
-        jnp.arange(1, T) <= gt_lock_steps,
-    )
+    inputs_np = [
+        np.asarray(data.odometry[1:], np.float32),
+        np.asarray(data.z[1:], np.float32),
+        np.asarray(data.z_mask[1:]),
+        np.asarray(data.gt_pose[1:], np.float32),
+        np.asarray(np.arange(1, T) <= gt_lock_steps),
+    ]
 
     @jax.jit
-    def scan(state, inputs):
+    def scan_all(state, inputs):
         return jax.lax.scan(step, state, inputs)
 
-    t0 = time.time()
-    state, outs = scan(state, inputs)
-    jax.block_until_ready(outs)
-    wall = time.time() - t0
-    return state, jax.tree_util.tree_map(np.asarray, outs), wall
+    from rfs_slam_tpu.apps import _vp_common
+
+    return _vp_common.chunked_scan(scan_all, state, inputs_np,
+                                   ckpt_every=min(chunk, T - 1),
+                                   progress=False)
 
 
 def main(argv=None):
