@@ -128,6 +128,9 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--logdir", default=None)
     ap.add_argument("--particles", type=int, default=None)
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="steps per device dispatch (default 500, or 64 for "
+                         "MH — the relay kills dispatches past ~1 min)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -145,7 +148,8 @@ def main(argv=None):
                                  n_particles=args.particles)
     print(f"fastslam2dsim: T={sim_cfg.timesteps} P={filt.cfg.n_particles} "
           f"H={filt.cfg.max_hypotheses} Zmax={zc} device={jax.devices()[0]}")
-    state, outs, wall = run(filt, sim_cfg, data)
+    chunk = args.chunk or (64 if filt.cfg.max_hypotheses > 1 else 500)
+    state, outs, wall = run(filt, sim_cfg, data, chunk=chunk)
     poses, weights, best, gm_mean, gm_cov, gm_w, gm_alive = outs
     T = sim_cfg.timesteps
     print(f"done: {T - 1} steps in {wall:.2f}s "

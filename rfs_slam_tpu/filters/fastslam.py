@@ -195,8 +195,13 @@ class FastSLAMFilter:
         NMZ = cfg.nmz_capacity
         pd, close = meas.pd_p(pose[:, None, :], gm.mean, gm.cov)
         in_range = gm.alive & ((pd > 0.0) | close)          # FastSLAM.hpp:456-465
-        # rank-compact in-range landmarks to leading rows (stable by index)
-        order = jnp.argsort(~in_range, axis=1, stable=True)  # [P, M]
+        # rank-compact in-range landmarks to leading rows by DESCENDING
+        # existence weight: when more landmarks are in range than the NMZ
+        # table holds, truncation must drop the weakest (slot order is
+        # arbitrary since replace_weakest; truncating by slot order cost
+        # 3.6 -> 13.5 m RMSE on Victoria Park)
+        score = jnp.where(in_range, gm.w, -jnp.inf)
+        order = jnp.argsort(-score, axis=1, stable=True)     # [P, M]
         if M >= NMZ:
             lm_idx = order[:, :NMZ]
             row_valid = jnp.take_along_axis(in_range, lm_idx, axis=1)
