@@ -174,3 +174,22 @@ def replace_weakest_only(g):
 scan_time("  topk 5120->48", topk_only, gm)
 scan_time("  approx topk 5120->48", approx_topk_only, gm)
 scan_time("  replace_weakest(48)", replace_weakest_only, gm)
+
+
+# ---- calibration + predict decomposition
+scan_time("  noop (scan overhead floor)",
+          lambda g: g.replace(w=g.w + 1e-9), gm)
+scan_time("  static step only",
+          lambda g: g.replace(cov=filt.lmk.static_step_p(g.mean, g.cov, 0.1)[1]),
+          gm)
+
+
+def key_split_only(g):
+    k1, k2, k3 = jax.random.split(jax.random.fold_in(
+        jax.random.PRNGKey(0), jnp.int32(jnp.sum(g.w))), 3)
+    ks = jax.random.split(k2, P)
+    probe = jnp.sum(jax.random.key_data(ks).astype(jnp.float32))
+    return g.replace(w=g.w + probe * 1e-30)
+
+
+scan_time("  rng split P keys only", key_split_only, gm)
