@@ -83,10 +83,21 @@ def main(argv=None):
                 sim_cfg = dataclasses.replace(base, pd=pd, clutter=clutter)
                 for seed in range(args.seeds):
                     t0 = time.time()
-                    mean_err, final_err, wall = run_one(
-                        args.filter, cfg, sim_cfg, traj_seed=seed,
-                        noise_seed=seed + 1, z_capacity=zc,
-                        n_particles=args.particles)
+                    try:
+                        mean_err, final_err, wall = run_one(
+                            args.filter, cfg, sim_cfg, traj_seed=seed,
+                            noise_seed=seed + 1, z_capacity=zc,
+                            n_particles=args.particles)
+                    except Exception as e:  # noqa: BLE001
+                        # the tunneled TPU worker can hand the FIRST request
+                        # after a crash an inherited UNAVAILABLE; retry once
+                        print(f"retrying after {type(e).__name__}: {e}",
+                              flush=True)
+                        time.sleep(20)
+                        mean_err, final_err, wall = run_one(
+                            args.filter, cfg, sim_cfg, traj_seed=seed,
+                            noise_seed=seed + 1, z_capacity=zc,
+                            n_particles=args.particles)
                     f.write(f"{pd:.4f}  {clutter:.6g}  {seed}  "
                             f"{mean_err:.6f}  {final_err:.6f}  {wall:.2f}\n")
                     f.flush()
