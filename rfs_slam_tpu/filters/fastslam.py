@@ -290,18 +290,23 @@ class FastSLAMFilter:
             pd_rank, p_fa, cfg.existence_prior, updated, locked)
         w_new_rank = w_rank + jnp.where(row_valid, dw, 0.0)
 
-        # scatter rank-space results back to landmark slots (lm_idx == M rows
-        # are out of bounds and dropped by the scatter)
-        gm_mean = gm.mean.at[:, rows, lm_idx].set(
+        # scatter rank-space results back to landmark slots via one-hot
+        # (lm_idx == M rows drop; batched scatters serialize under vmap on
+        # TPU — see planar.put_lane)
+        gm_mean = planar.put_lane(
+            gm.mean, jnp.broadcast_to(lm_idx, (gm.mean.shape[0],) + lm_idx.shape),
             jnp.where(updated[None], m_upd, lm_mean))
-        gm_cov = gm.cov.at[:, rows, lm_idx].set(
+        gm_cov = planar.put_lane(
+            gm.cov, jnp.broadcast_to(lm_idx, (gm.cov.shape[0],) + lm_idx.shape),
             jnp.where(updated[None], c_upd, lm_cov))
-        gm_w = gm.w.at[rows, lm_idx].set(
-            jnp.where(row_valid, w_new_rank, w_rank))
+        gm_w = planar.put_lane(gm.w, lm_idx,
+                               jnp.where(row_valid, w_new_rank, w_rank))
         gm = gm.replace(mean=gm_mean, cov=gm_cov, w=gm_w)
 
         # measurement usage + particle weight (FastSLAM.hpp:611, 710-717)
-        z_used = jnp.zeros((P, Zc), bool).at[rows, da_z].max(updated)
+        z_used = jnp.sum(
+            (da_z[:, :, None] == jnp.arange(Zc)) & updated[:, :, None], axis=1
+        ) > 0
         log_w = log_w + jnp.sum(jnp.where(updated, L_da, 0.0), axis=1)
         n_in_fov = jnp.sum(updated, axis=1).astype(jnp.int32)
         return gm, z_used, log_w, n_in_fov
@@ -373,21 +378,25 @@ class FastSLAMFilter:
 
         def scat_pm(dst_arr, src_arr):
             src_v = jnp.take_along_axis(src_arr, src, axis=1)
-            old = jnp.take_along_axis(dst_arr, dest, axis=1)
-            return dst_arr.at[rows, dest].set(jnp.where(ok, src_v, old))
+            return planar.put_lane(dst_arr.astype(jnp.float32), dest,
+                                   src_v.astype(jnp.float32),
+                                   valid=ok).astype(dst_arr.dtype)
 
         def scat_pl(dst_arr, src_arr):
             src_v = jnp.take_along_axis(src_arr, src[None], axis=2)
-            old = jnp.take_along_axis(dst_arr, dest[None], axis=2)
-            return dst_arr.at[:, rows, dest].set(jnp.where(ok[None], src_v, old))
+            X = dst_arr.shape[0]
+            return planar.put_lane(
+                dst_arr, jnp.broadcast_to(dest, (X,) + dest.shape), src_v,
+                valid=jnp.broadcast_to(ok, (X,) + ok.shape))
 
         cand = cand.replace(
             mean=scat_pl(cand.mean, inv_mean),
             cov=scat_pl(cand.cov, inv_cov),
             n_support=scat_pm(cand.n_support, jnp.ones((P, Zc), jnp.int32)),
             n_checks=scat_pm(cand.n_checks, jnp.zeros((P, Zc), jnp.int32)),
-            alive=cand.alive.at[rows, dest].set(
-                jnp.where(ok, True, jnp.take_along_axis(cand.alive, dest, axis=1))),
+            alive=planar.put_lane(
+                cand.alive.astype(jnp.float32), dest,
+                jnp.ones(dest.shape, jnp.float32), valid=ok) > 0.5,
         )
 
         # promotion / expiry; promoted weight = logit(prior) * nChecks

@@ -252,21 +252,20 @@ class RBPHDFilter:
         rows = jnp.arange(P)[:, None]
 
         def scat_pm(dst_arr, src_arr):
-            """[P, C] dst <- [P, Zc] src at (rows, dest)."""
+            """[P, C] dst <- [P, Zc] src at (rows, dest) — one-hot scatter
+            (batched scatters serialize under vmap, planar.put_lane)."""
             src_v = jnp.take_along_axis(src_arr, src, axis=1)
-            upd = jnp.where(
-                ok, src_v, jnp.take_along_axis(dst_arr, dest, axis=1)
-            )
-            return dst_arr.at[rows, dest].set(upd)
+            return planar.put_lane(dst_arr.astype(jnp.float32), dest,
+                                   src_v.astype(jnp.float32),
+                                   valid=ok).astype(dst_arr.dtype)
 
         def scat_pl(dst_arr, src_arr):
             """[X, P, C] dst <- [X, P, Zc] src at (:, rows, dest)."""
             src_v = jnp.take_along_axis(src_arr, src[None], axis=2)
-            upd = jnp.where(
-                ok[None], src_v,
-                jnp.take_along_axis(dst_arr, dest[None], axis=2),
-            )
-            return dst_arr.at[:, rows, dest].set(upd)
+            X = dst_arr.shape[0]
+            return planar.put_lane(
+                dst_arr, jnp.broadcast_to(dest, (X,) + dest.shape), src_v,
+                valid=jnp.broadcast_to(ok, (X,) + ok.shape))
 
         birth = birth.replace(
             mean=scat_pl(birth.mean, inv_mean),
@@ -274,9 +273,9 @@ class RBPHDFilter:
             n_support=scat_pm(birth.n_support,
                               jnp.ones((P, Zc), jnp.int32)),
             n_checks=scat_pm(birth.n_checks, jnp.zeros((P, Zc), jnp.int32)),
-            alive=birth.alive.at[rows, dest].set(
-                jnp.where(ok, True, jnp.take_along_axis(birth.alive, dest, axis=1))
-            ),
+            alive=planar.put_lane(
+                birth.alive.astype(jnp.float32), dest,
+                jnp.ones(dest.shape, jnp.float32), valid=ok) > 0.5,
         )
 
         # ---- candidate promotion / expiry (RBPHDFilter.hpp:1063-1080)

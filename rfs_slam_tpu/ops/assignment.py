@@ -60,9 +60,15 @@ def hungarian(cost: jax.Array):
             minv, used, way, u_v, j0, p_, it = st
             return (p_[j0] != 0) & (it <= n + 1)
 
+        rows_n1 = jnp.arange(n + 1)
+
         def body(st):
             minv, used, way, (u, v), j0, p_, it = st
-            used = used.at[j0].set(True)
+            # all updates keyed by the per-instance scalar j0 are written as
+            # elementwise one-hot selects: under vmap, .at[j0].set lowers to
+            # a batched scatter that TPU executes serially per lane (measured
+            # ~50 s per murty call at MH shapes before this change)
+            used = used | (rows_n1 == j0)
             i0 = p_[j0]
             cols = jnp.arange(n + 1)
             cur = a[i0 - 1, :] - u[i0] - v[1:]       # [n] for cols 1..n
@@ -73,7 +79,13 @@ def hungarian(cost: jax.Array):
             delta_candidates = jnp.where(used, INF, minv)
             j1 = jnp.argmin(delta_candidates).astype(jnp.int32)
             delta = delta_candidates[j1]
-            u = u.at[p_].add(jnp.where(used, delta, 0.0))
+            # u[p_[j]] += delta for used j, as a one-hot multiply-reduce —
+            # a batched scatter-add here lowers to a serialized per-lane
+            # update under vmap on TPU and dominated murty's runtime
+            hits = jnp.sum(
+                (p_[None, :] == rows_n1[:, None]) & used[None, :], axis=1
+            ).astype(u.dtype)                        # [n+1] rows
+            u = u + delta * hits
             v = jnp.where(used, v - delta, v)
             minv = jnp.where(used, minv, minv - delta)
             return minv, used, way, (u, v), j1, p_, it + 1
@@ -98,7 +110,7 @@ def hungarian(cost: jax.Array):
         def aug_body(st):
             j0, p_, it = st
             j1 = way[j0]
-            p_ = p_.at[j0].set(p_[j1])
+            p_ = jnp.where(rows_n1 == j0, p_[j1], p_)
             return j1, p_, it + 1
 
         _, p, _ = jax.lax.while_loop(aug_cond, aug_body,
@@ -107,9 +119,13 @@ def hungarian(cost: jax.Array):
         return u, v, p
 
     u, v, p = jax.lax.fori_loop(0, n, assign_row, (u, v, p))
-    # p[j] = row for col j (1-indexed); invert
-    row_to_col = jnp.zeros((n,), jnp.int32)
-    row_to_col = row_to_col.at[p[1:] - 1].set(jnp.arange(n, dtype=jnp.int32))
+    # p[j] = row for col j (1-indexed); invert via one-hot reduce (a scatter
+    # here would serialize under vmap, see body())
+    cols_n = jnp.arange(n, dtype=jnp.int32)
+    row_to_col = jnp.sum(
+        jnp.where((p[1:] - 1)[None, :] == cols_n[:, None], cols_n[None, :], 0),
+        axis=1,
+    )
     total = jnp.sum(cost[jnp.arange(n), row_to_col])
     return row_to_col, total
 
@@ -212,9 +228,12 @@ def murty(cost: jax.Array, k: int,
         out_sols = out_sols.at[t].set(jnp.where(ok, best_sol, 0))
         out_scores = out_scores.at[t].set(jnp.where(ok, best_score, -jnp.inf))
         out_valid = out_valid.at[t].set(ok)
-        active = active.at[best].set(False)
+        # per-instance scalar index -> one-hot select (batched scatters
+        # serialize under vmap on TPU)
+        active = active & (jnp.arange(pool) != best)
         n_parent_bans = jnp.sum(ban_r[best] >= 0).astype(jnp.int32)
         ban_slot = jnp.minimum(n_parent_bans, k - 1)
+        slot_hot = jnp.arange(k) == ban_slot                   # [k]
 
         # expand: child r = parent constraints + rows<r forced to best_sol,
         # row r banned from best_sol[r].  All children of an iteration are
@@ -227,14 +246,14 @@ def murty(cost: jax.Array, k: int,
         f_children = jnp.where(
             (rows[None, :] < child_rows[:, None]) & (forced[best][None, :] < 0),
             best_sol[None, :], forced[best][None, :])           # [pb, n]
-        br_c = jnp.broadcast_to(ban_r[best], (pb, k)).at[:, ban_slot].set(
-            child_rows)
-        bc_c = jnp.broadcast_to(ban_c[best], (pb, k)).at[:, ban_slot].set(
-            best_sol[child_rows])
+        br_c = jnp.where(slot_hot[None, :], child_rows[:, None],
+                         ban_r[best][None, :])
+        bc_c = jnp.where(slot_hot[None, :], best_sol[child_rows][:, None],
+                         ban_c[best][None, :])
         aug_val = (jnp.zeros((pb,), bool) if all_cols_real
                    else best_sol[child_rows] >= nC)
-        baug_c = jnp.broadcast_to(ban_aug[best], (pb, k)).at[:, ban_slot].set(
-            aug_val)
+        baug_c = jnp.where(slot_hot[None, :], aug_val[:, None],
+                           ban_aug[best][None, :])
         child_valid = ok & (forced[best][child_rows] < 0) & (
             child_rows < partition_max)
         sols_c, tots_c = jax.vmap(solve)(f_children, br_c, bc_c, baug_c)

@@ -198,9 +198,11 @@ def _merge_pass(gm: GMState, t2, f_inflation):
     new_cov = jnp.where(okD, Sm, gm.cov)
     new_w = jnp.where(ok, wm, gm.w)
     new_w_prev = jnp.where(ok, 0.0, gm.w_prev)
-    # kill merged-away j slots
-    merged_j = jnp.zeros((P, M), bool)
-    merged_j = merged_j.at[jnp.arange(P)[:, None], j_safe].max(ok)
+    # kill merged-away j slots (one-hot reduce; a batched scatter here
+    # serializes on TPU — see planar.put_lane)
+    merged_j = jnp.any(
+        (j_safe[:, :, None] == idx[None, None, :]) & ok[:, :, None], axis=1
+    )
     new_alive = gm.alive & ~merged_j
     n_merged = jnp.sum(ok)
     return (

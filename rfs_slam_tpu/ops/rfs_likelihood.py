@@ -73,9 +73,10 @@ def rfs_log_likelihood(
     # active columns NOT in the DP contribute their clutter factor exactly
     # (they have no gated landmark, or were truncated — reference analog:
     # zero partitions and Murty truncation)
-    in_dp = jnp.zeros((P, Z), bool).at[
-        jnp.arange(P)[:, None], sel_idx
-    ].max(sel_valid)
+    # one-hot reduce, not a batched scatter (which serializes on TPU)
+    in_dp = jnp.any(
+        (sel_idx[:, :, None] == jnp.arange(Z)) & sel_valid[:, :, None], axis=1
+    )
     log_extra = jnp.sum(
         jnp.where(z_active & ~in_dp, jnp.log(jnp.maximum(clutter, _EPS)), 0.0),
         axis=1,
