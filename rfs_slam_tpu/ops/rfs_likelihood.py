@@ -117,11 +117,7 @@ def rfs_log_likelihood(
             new = new + shifted * lc
         return new
 
-    # unrolled over eval rows: E is small (<= eval_capacity) and the state is
-    # only [P, 2^Zd]; unrolling lets XLA fuse consecutive rows instead of
-    # paying a loop-iteration dispatch per row
-    for r in range(E):
-        state = row_step(r, state)
+    state = jax.lax.fori_loop(0, E, row_step, state)
 
     # ---- weight unmatched columns by scaled clutter and sum over subsets
     # (along each column axis, index 0 = "not matched" gets the clutter factor)

@@ -199,5 +199,3 @@ from rfs_slam_tpu.ops.pallas.merge2d import merge2d  # noqa: E402
 
 scan_time("  merge(pallas block=16)",
           lambda g: merge2d(g, 0.5, 1.5, block=16), gm)
-scan_time("  merge(pallas block=40)",
-          lambda g: merge2d(g, 0.5, 1.5, block=40), gm)
