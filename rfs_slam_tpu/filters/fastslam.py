@@ -14,11 +14,15 @@ Mapping to arrays:
 * single-hypothesis DA = batched Hungarian max-sum on that table
   (= the best Murty solution after the reference's ``CostMatrix::reduce``
   optimization, FastSLAM.hpp:493-543);
-* MH-FastSLAM expands every particle into ``max_hypotheses`` Murty k-best
-  hypotheses each update, splitting its weight evenly
-  (FastSLAM.hpp:547-563), then ALWAYS resamples back to ``n_particles``
-  (the reference grows the particle set until ``nParticlesMax_`` then
-  force-resamples — a fixed-shape equivalent, parity statistical);
+* MH-FastSLAM (default ``mh_grow=True``) follows the reference's growth
+  semantics: every particle expands into ``max_hypotheses`` Murty k-best
+  hypotheses each update and the expanded set is KEPT as new particles
+  until it would exceed ``n_particles_max``, at which point it
+  force-resamples back to ``n_particles`` (FastSLAM.hpp:504-563 expansion,
+  resampleWithMapCopy :728-757).  TPU-first this is selection before
+  materialization over a fixed ``n_particles_max`` axis — see
+  ``_update_body_mh_grow``.  ``mh_grow=False`` keeps the legacy
+  fixed-shape deviation that resamples to ``n_particles`` every update;
 * the landmark-candidate pipeline is the same masked state machine as the
   RB-PHD birth (promoted candidates enter with weight
   ``logit(prior) * nChecks``, FastSLAM.hpp:692-698).
@@ -492,8 +496,15 @@ class FastSLAMFilter:
 
         key, k_rs = jax.random.split(state.particles.key)
         # resample branch: n_particles_init ancestors from the hypothesis
-        # distribution, uniform weights (ParticleFilter.hpp:399-492)
-        anc_rs = resample_ops.systematic_ancestors(k_rs, flat_lw, P_cap)
+        # distribution, uniform weights (ParticleFilter.hpp:399-492).
+        # Draw exactly P_init ancestors so the systematic comb spans the FULL
+        # hypothesis CDF — drawing P_cap and keeping the first P_init slots
+        # would cover only the first P_init/P_cap of the cumulative
+        # distribution, truncating the posterior (round-3 advisor finding).
+        # Padding values past P_init are irrelevant: alive_rs masks them.
+        anc_rs = jnp.pad(
+            resample_ops.systematic_ancestors(k_rs, flat_lw, P_init),
+            (0, P_cap - P_init))
         alive_rs = jnp.arange(P_cap) < P_init
         lw_rs = jnp.where(alive_rs, -jnp.log(float(P_init)), -jnp.inf)
         # keep branch: every kept hypothesis becomes a particle (count fits

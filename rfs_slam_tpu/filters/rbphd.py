@@ -60,8 +60,12 @@ class RBPHDConfig:
     map_capacity: int = 256          # padded GM size per particle
     z_capacity: int = 16             # padded measurement-set size
     new_capacity: int = 64           # cap on new Gaussians kept per update
-    new_per_z: int = 4               # per-measurement new-Gaussian cap (see
-                                     # _map_update's hierarchical selection)
+    new_per_z: int = 8               # per-measurement new-Gaussian cap (see
+                                     # _map_update's hierarchical selection).
+                                     # Default matches the bench-of-record
+                                     # configuration (bench.py) so sim apps
+                                     # built without overrides truncate birth
+                                     # candidates identically to the bench.
     birth_capacity: int = 16         # birth-candidate list capacity
     eval_capacity: int = 15          # importanceWeightingEvalPointCount_
     z_dp_max: int = 10               # exact-DP column budget for RFS likelihood

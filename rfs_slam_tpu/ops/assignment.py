@@ -122,7 +122,11 @@ def hungarian(cost: jax.Array):
     # p[j] = row for col j (1-indexed); invert via one-hot reduce (a scatter
     # here would serialize under vmap, see body())
     cols_n = jnp.arange(n, dtype=jnp.int32)
-    row_to_col = jnp.sum(
+    # max (not sum) reduce: if the capped augment walk above left a broken
+    # chain, p can contain duplicate rows; summing their column indices could
+    # produce an out-of-range column for the degraded row, while max keeps it
+    # in [0, n-1] (merely suboptimal, as intended).
+    row_to_col = jnp.max(
         jnp.where((p[1:] - 1)[None, :] == cols_n[:, None], cols_n[None, :], 0),
         axis=1,
     )

@@ -29,6 +29,10 @@ def enable(cache_dir: str | None = None) -> None:
     # Platform segregation applies to EVERY cache root, including explicit
     # ones — an explicit path shared across JAX_PLATFORMS values would
     # reintroduce the cross-platform executable poisoning this exists to fix.
+    # NOTE (layout change vs round 2): callers that passed an exact path now
+    # get a per-platform subdirectory under it; cache entries written at the
+    # old exact path are orphaned (never read again), not corrupted — delete
+    # the old root to reclaim the disk.
     platform = os.environ.get("JAX_PLATFORMS", "auto") or "auto"
     cache_dir = os.path.join(cache_dir, re.sub(r"[^\w-]+", "_", platform))
     os.makedirs(cache_dir, exist_ok=True)

@@ -166,4 +166,10 @@ def test_mh_growth_semantics(short_sim):
     # and collapses back to n_particles after a forced resample
     assert max(counts) > 4
     assert max(counts) <= 12
-    assert any(c == 4 for c in counts[1:]) or counts[-1] <= 12
+    # the collapse must actually be observed (a grown set followed by a
+    # step where the further expansion would exceed n_particles_max forces
+    # a resample back to exactly n_particles) — this is the path holding
+    # the growth-mode resample, so assert it unconditionally
+    collapses = [i for i in range(1, len(counts))
+                 if counts[i] == 4 and counts[i - 1] > 4]
+    assert collapses, f"no force-resample collapse observed: {counts}"
