@@ -92,6 +92,14 @@ class FastSLAMConfig:
     # to n_particles (FastSLAM.hpp:728-757).  False: legacy fixed-shape
     # deviation that resamples to n_particles every update.
     mh_grow: bool = True
+    # static cap on Murty children solved per expansion wave (see
+    # ops/assignment.murty): the uncapped wave width is nmz_capacity - 1
+    # while only ~n_in_range children are ever valid, and on TPU the
+    # vmapped-Hungarian wave cost scales with width.  Exact while the
+    # in-range landmark count stays <= the cap (2-D sim: p90 = 14, max 17
+    # measured over 1500 steps); beyond it, children of the weakest-ranked
+    # landmarks are dropped.  None = unbounded (exact, slow).
+    murty_child_cap: int | None = 12
     max_da_loglik_diff: float = 3.0  # maxDataAssocLogLikelihoodDiff_
     min_log_likelihood: float = -10.0  # minLogMeasurementLikelihood_
     existence_prior: float = 0.5     # landmarkExistencePrior_
@@ -456,7 +464,8 @@ class FastSLAMFilter:
         # ---- k-best hypotheses per live slot (Murty real-assignment-block)
         n_m = jnp.sum(row_valid, axis=1)
         das, scores, valid = jax.vmap(
-            lambda t, nr: murty(t, H, real_rows=nr, real_cols=nZ)
+            lambda t, nr: murty(t, H, real_rows=nr, real_cols=nZ,
+                                child_cap=cfg.murty_child_cap)
         )(table, n_m)                                   # [Pc,H,NMZ], [Pc,H]
         keep = valid & (scores[:, :1] - scores <= cfg.max_da_loglik_diff)
         keep = keep & alive_p[:, None]
@@ -589,7 +598,8 @@ class FastSLAMFilter:
             n_m = jnp.sum(row_valid, axis=1)
             n_z_real = jnp.sum(z_mask)
             das, scores, valid = jax.vmap(
-                lambda t, nr: murty(t, H, real_rows=nr, real_cols=n_z_real)
+                lambda t, nr: murty(t, H, real_rows=nr, real_cols=n_z_real,
+                                    child_cap=cfg.murty_child_cap)
             )(table, n_m)
             keep = valid & (scores[:, :1] - scores <= cfg.max_da_loglik_diff)
             das = jnp.where(keep[:, :, None], das, das[:, :1, :])

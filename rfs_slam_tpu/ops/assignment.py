@@ -138,7 +138,8 @@ hungarian_batched = jax.vmap(hungarian)
 
 
 def murty(cost: jax.Array, k: int,
-          real_rows: int | None = None, real_cols: int | None = None):
+          real_rows: int | None = None, real_cols: int | None = None,
+          child_cap: int | None = None):
     """k-best max-sum assignments by Murty partitioning.
 
     Returns ``(assignments [k, n] int32, scores [k], valid [k] bool)`` in
@@ -164,6 +165,20 @@ def murty(cost: jax.Array, k: int,
     blocks (the property MH-FastSLAM's hypothesis budget relies on,
     FastSLAM.hpp:504-543).  Both may be static Python ints or traced int
     scalars (per-particle in-range landmark counts are data-dependent).
+
+    ``child_cap`` (static int) bounds the number of Murty children SOLVED
+    per expansion wave: valid children (free rows below ``partition_max``)
+    are compacted to the leading slots and only the first ``child_cap`` are
+    solved.  With traced ``real_rows`` the uncapped wave width is ``n - 1``
+    even though only ~``real_rows`` children are ever valid — on TPU the
+    vmapped Hungarian cost scales with wave width (measured 742 ms vs 35 ms
+    per wave at 31x vs 1x width, MH 2-D sim shapes), so capping the wave at
+    a small static bound is the difference between ~2.4 s and ~0.2 s per
+    MH-FastSLAM murty call.  EXACT whenever the number of valid children at
+    every expansion stays <= child_cap (i.e. in-range landmark count <=
+    child_cap); beyond that, children of the lowest-priority (weakest, given
+    the rank-compacted table) rows are dropped, the same truncation class as
+    the table's NMZ capacity itself.
     """
     n = cost.shape[-1]
     nR = n if real_rows is None else real_rows
@@ -177,7 +192,9 @@ def murty(cost: jax.Array, k: int,
     all_cols_real = static_dims and nC >= n  # skip aug-col widening entirely
     partition_max = jnp.where(jnp.asarray(nR) >= n, n - 1, nR)
     nC = jnp.asarray(nC)
-    pool = k * max(partition_bound, 1) + 1
+    pb_full = max(partition_bound, 1)        # candidate child rows per wave
+    pb = pb_full if child_cap is None else max(1, min(child_cap, pb_full))
+    pool = (k - 1) * pb + 1                  # only k-1 waves expand children
 
     # subproblem representation: forced[r] = col forced for row r (-1 free);
     # bans as a COMPACT list of at most k entries (ban_r, ban_c, ban_aug) —
@@ -219,8 +236,7 @@ def murty(cost: jax.Array, k: int,
     out_scores = jnp.full((k,), -jnp.inf, cost.dtype)
     out_valid = jnp.zeros((k,), bool)
 
-    pb = max(partition_bound, 1)
-    child_rows = jnp.arange(pb)
+    cand_rows = jnp.arange(pb_full)
 
     def iteration(t, carry):
         (forced, ban_r, ban_c, ban_aug, sols, scores, active,
@@ -238,6 +254,20 @@ def murty(cost: jax.Array, k: int,
         n_parent_bans = jnp.sum(ban_r[best] >= 0).astype(jnp.int32)
         ban_slot = jnp.minimum(n_parent_bans, k - 1)
         slot_hot = jnp.arange(k) == ban_slot                   # [k]
+
+        # valid candidate children: free rows inside the real-assignment
+        # partition range.  Compact them to the leading slots and solve only
+        # the first pb (child_cap) — the wave width, not the validity mask,
+        # is what the vmapped Hungarian pays for.
+        cand_valid = ok & (forced[best][cand_rows] < 0) & (
+            cand_rows < partition_max)                          # [pb_full]
+        if pb < pb_full:
+            order = jnp.argsort(~cand_valid, stable=True).astype(jnp.int32)
+            child_rows = order[:pb]                             # [pb]
+            child_valid = cand_valid[child_rows]
+        else:
+            child_rows = cand_rows
+            child_valid = cand_valid
 
         # expand: child r = parent constraints + rows<r forced to best_sol,
         # row r banned from best_sol[r].  All children of an iteration are
@@ -258,8 +288,6 @@ def murty(cost: jax.Array, k: int,
                    else best_sol[child_rows] >= nC)
         baug_c = jnp.where(slot_hot[None, :], aug_val[:, None],
                            ban_aug[best][None, :])
-        child_valid = ok & (forced[best][child_rows] < 0) & (
-            child_rows < partition_max)
         sols_c, tots_c = jax.vmap(solve)(f_children, br_c, bc_c, baug_c)
         tots_c = jnp.where(child_valid, tots_c, -jnp.inf)
 
@@ -278,8 +306,18 @@ def murty(cost: jax.Array, k: int,
 
     carry = (forced0, ban_r0, ban_c0, ban_aug0, sol0, score0, active0,
              out_sols, out_scores, out_valid)
-    carry = jax.lax.fori_loop(0, k, iteration, carry)
-    out_sols, out_scores, out_valid = carry[7], carry[8], carry[9]
+    # the last iteration only needs to EXTRACT its best — its children are
+    # never read (out slots are full), so skip the k-th expansion wave
+    # entirely (one of k vmapped-Hungarian waves, a 1/k cost cut)
+    carry = jax.lax.fori_loop(0, k - 1, iteration, carry)
+    (forced, ban_r, ban_c, ban_aug, sols, scores, active,
+     out_sols, out_scores, out_valid) = carry
+    best = jnp.argmax(jnp.where(active, scores, -jnp.inf)).astype(jnp.int32)
+    ok = active[best] & (scores[best] > NEG / 2)
+    out_sols = out_sols.at[k - 1].set(jnp.where(ok, sols[best], 0))
+    out_scores = out_scores.at[k - 1].set(
+        jnp.where(ok, scores[best], -jnp.inf))
+    out_valid = out_valid.at[k - 1].set(ok)
     return out_sols, out_scores, out_valid
 
 

@@ -55,6 +55,36 @@ def test_murty_kbest(rng, n, k):
     assert len(seen) == k
 
 
+@pytest.mark.parametrize("n,k,cap", [(4, 6, 3), (5, 5, 4), (5, 4, 2)])
+def test_murty_child_cap(rng, n, k, cap):
+    """child_cap >= n-1 is exactly the uncapped solver; any cap keeps the
+    best solution exact and every returned solution a genuine assignment
+    with its true score, in descending order."""
+    cost = rng.normal(size=(n, n)).astype(np.float32) * 2
+    # cap >= n-1: identical to uncapped
+    s_ref, sc_ref, v_ref = murty(jnp.asarray(cost), k)
+    s_eq, sc_eq, v_eq = murty(jnp.asarray(cost), k, child_cap=n - 1)
+    np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_eq))
+    np.testing.assert_allclose(np.asarray(sc_ref), np.asarray(sc_eq))
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_eq))
+    # tight cap: best exact, scores true + descending, solutions distinct
+    sols, scores, valid = murty(jnp.asarray(cost), k, child_cap=cap)
+    perms, bf_scores = brute_force_assignments(cost, k=None)
+    np.testing.assert_allclose(float(scores[0]), bf_scores[0], rtol=1e-4)
+    prev = np.inf
+    seen = set()
+    for i in range(k):
+        if not bool(valid[i]):
+            continue
+        sol = np.asarray(sols[i])
+        true = sum(cost[r, sol[r]] for r in range(n))
+        np.testing.assert_allclose(float(scores[i]), true, rtol=1e-4)
+        assert float(scores[i]) <= prev + 1e-5
+        prev = float(scores[i])
+        assert tuple(sol) not in seen
+        seen.add(tuple(sol))
+
+
 def test_murty_exhaustion(rng):
     # 2x2 has only 2 assignments; asking for 4 marks the rest invalid
     cost = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
