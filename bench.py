@@ -81,6 +81,41 @@ def build():
     return sim_cfg, data, filt
 
 
+def _cold_d2h_with_liveness(log_every_s: float = 60.0,
+                            give_up_s: float = 2400.0) -> float:
+    """First device-to-host fetch with liveness logging.
+
+    The tunnel's one-time cold D2H ranges 33-1300 s on this host; a silent
+    multi-minute block is indistinguishable from a hang to the driver.  Run
+    the fetch on a daemon thread, print a status line to stderr every
+    ``log_every_s`` while it is in flight, and give up (returning the elapsed
+    time, fetch still pending) after ``give_up_s`` — later timed sections
+    will then absorb the remainder, which the detail output makes visible.
+    """
+    import threading
+
+    done = threading.Event()
+    t0 = time.time()
+
+    def fetch():
+        np.asarray(jnp.zeros((1,), jnp.float32) + 1.0)
+        done.set()
+
+    th = threading.Thread(target=fetch, daemon=True)
+    th.start()
+    while not done.wait(timeout=log_every_s):
+        waited = time.time() - t0
+        print(f"bench: cold first D2H still in flight after {waited:.0f}s "
+              f"(tunnel constant, measured range 33-1300s)", file=sys.stderr,
+              flush=True)
+        if waited > give_up_s:
+            print("bench: giving up waiting for cold D2H; proceeding "
+                  "(remainder will surface in first_run_s)", file=sys.stderr,
+                  flush=True)
+            break
+    return time.time() - t0
+
+
 def run_tpu(sim_cfg, data, filt):
     state = filt.init_state(jax.random.PRNGKey(0), jnp.zeros(3))
 
@@ -115,10 +150,11 @@ def run_tpu(sim_cfg, data, filt):
     # Pay the relay's one-time cold device-to-host cost NOW, on a trivial
     # fetch, so it cannot contaminate any timed section below.  This cost is
     # an environment constant of this host's TPU tunnel (measured 33-1300 s),
-    # not a property of the compiled program.
+    # not a property of the compiled program.  The fetch runs on a worker
+    # thread with liveness logging to stderr: on a bad tunnel day the bench
+    # degrades to a logged wait instead of an apparent hang.
     t0 = time.time()
-    np.asarray(jnp.zeros((1,), jnp.float32) + 1.0)
-    first_d2h_s = time.time() - t0
+    first_d2h_s = _cold_d2h_with_liveness()
 
     def timed_run(s):
         """Run + hard sync.  block_until_ready does not reliably block on
@@ -187,12 +223,16 @@ def baseline_tps():
     return None
 
 
-# Accuracy anchor (RESULTS.md): measured 0.033 m median on this workload;
-# the C++ double-precision baseline scores 0.574 m on its own data and the
-# TPU filter 0.555 m on that same data (scripts/sim_accuracy_check.py).  A
-# perf change that pushes the median past this bound is a regression and
-# fails the bench.
-ACCURACY_ANCHOR_M = 0.10
+# Accuracy anchor.  Error drift of the bench operating point across rounds
+# (PERF.md optimization log): r2 0.0326 m -> r3 0.0597 m (the hierarchical
+# selection / replace-weakest / merge-entry rewrites bought 19% speed for
+# ~2x the error).  The r2-era 0.10 gate left a further "free" ~2x regression;
+# per the round-3 review the gate is now ~1.25x the r3 operating point so the
+# NEXT statistical-parity-class rewrite that degrades accuracy fails the
+# bench instead of riding inside the band.  (Context: the C++ double
+# baseline scores 0.574 m on its own data; the TPU filter 0.555 m on that
+# same data — scripts/sim_accuracy_check.py.)
+ACCURACY_ANCHOR_M = 0.075
 
 
 def main():

@@ -32,6 +32,28 @@ from rfs_slam_tpu.io import sim2d
 from rfs_slam_tpu.io.xmlconfig import XmlConfig, load_sim2d
 
 
+def final_map_cola(filter_kind, data, sim_cfg, gm_mean, gm_w, gm_alive,
+                   w_threshold=0.75, cutoff=0.2, order=1.0):
+    """COLA map error of the final best-particle map estimate vs the
+    groundtruth landmarks observable by then (the reference's mapError
+    column, batchSim_rbphdslam.bash:36 via analysis2dSim.cpp:182-247;
+    c=0.2, p=1, estimate threshold w >= 0.75).
+
+    FastSLAM maps carry log-odds existence weights — thresholded at the
+    same 0.75 on the PROBABILITY scale (w >= logit(0.75))."""
+    from rfs_slam_tpu.apps.analysis2dsim import cola_error
+
+    w = np.asarray(gm_w[-1], np.float64)
+    if filter_kind != "rbphd":
+        w = 1.0 / (1.0 + np.exp(-w))          # log-odds -> probability
+    keep = np.asarray(gm_alive[-1]) & (w >= w_threshold)
+    est = np.asarray(gm_mean[-1])[keep]
+    t_end = (sim_cfg.timesteps - 1) * sim_cfg.dt
+    obs = (data.lmk_first_obs >= 0) & (data.lmk_first_obs <= t_end)
+    return float(cola_error(est, data.landmarks[obs], cutoff=cutoff,
+                            order=order))
+
+
 def run_one(filter_kind, cfg, sim_cfg, traj_seed, noise_seed, z_capacity,
             n_particles):
     data = sim2d.generate(sim_cfg, traj_seed=traj_seed, noise_seed=noise_seed,
@@ -42,15 +64,22 @@ def run_one(filter_kind, cfg, sim_cfg, traj_seed, noise_seed, z_capacity,
         from rfs_slam_tpu.apps import fastslam2dsim as app
     filt = app.build_filter_from_xml(cfg, sim_cfg, z_capacity=z_capacity,
                                      n_particles=n_particles)
-    _, outs, wall = app.run(filt, sim_cfg, data)
-    poses, weights, best = outs[0], outs[1], outs[2]
+    if getattr(filt.cfg, "max_hypotheses", 1) > 1:
+        # MH steps are ~0.7 s on TPU; keep each dispatch well under the
+        # relay's ~1 min kill threshold
+        _, outs, wall = app.run(filt, sim_cfg, data, chunk=32)
+    else:
+        _, outs, wall = app.run(filt, sim_cfg, data)
+    poses, weights, best, gm_mean, gm_cov, gm_w, gm_alive = outs
     T = sim_cfg.timesteps
     # final-quarter errors (the reference batch scripts record the tail)
     k0 = (3 * (T - 1)) // 4
     best_pose = poses[np.arange(T - 1), best]
     err = np.linalg.norm(best_pose[k0:, :2] - data.gt_pose[1 + k0:, :2],
                          axis=1)
-    return float(np.mean(err)), float(err[-1]), wall
+    map_err = final_map_cola(filter_kind, data, sim_cfg, gm_mean, gm_w,
+                             gm_alive)
+    return float(np.mean(err)), float(err[-1]), map_err, wall
 
 
 def main(argv=None):
@@ -77,14 +106,14 @@ def main(argv=None):
     with open(args.out, "a") as f:
         f.write(f"# filter={args.filter} cfg={args.cfg} "
                 f"steps={base.timesteps}\n")
-        f.write("# pd  clutter  seed  meanTailErr  finalErr  wall_s\n")
+        f.write("# pd  clutter  seed  meanTailErr  finalErr  mapCola  wall_s\n")
         for pd in args.pd:
             for clutter in args.clutter:
                 sim_cfg = dataclasses.replace(base, pd=pd, clutter=clutter)
                 for seed in range(args.seeds):
                     t0 = time.time()
                     try:
-                        mean_err, final_err, wall = run_one(
+                        mean_err, final_err, map_err, wall = run_one(
                             args.filter, cfg, sim_cfg, traj_seed=seed,
                             noise_seed=seed + 1, z_capacity=zc,
                             n_particles=args.particles)
@@ -94,17 +123,18 @@ def main(argv=None):
                         print(f"retrying after {type(e).__name__}: {e}",
                               flush=True)
                         time.sleep(20)
-                        mean_err, final_err, wall = run_one(
+                        mean_err, final_err, map_err, wall = run_one(
                             args.filter, cfg, sim_cfg, traj_seed=seed,
                             noise_seed=seed + 1, z_capacity=zc,
                             n_particles=args.particles)
                     f.write(f"{pd:.4f}  {clutter:.6g}  {seed}  "
-                            f"{mean_err:.6f}  {final_err:.6f}  {wall:.2f}\n")
+                            f"{mean_err:.6f}  {final_err:.6f}  "
+                            f"{map_err:.6f}  {wall:.2f}\n")
                     f.flush()
                     n += 1
                     print(f"[{n}] pd={pd} clutter={clutter} seed={seed}: "
-                          f"tail err {mean_err:.3f} m "
-                          f"({time.time() - t0:.1f}s)")
+                          f"tail err {mean_err:.3f} m, map COLA "
+                          f"{map_err:.2f} ({time.time() - t0:.1f}s)")
     print(f"results -> {args.out}")
 
 

@@ -37,7 +37,8 @@ from rfs_slam_tpu.ops.ekf import InnovationGates
 
 
 def build_filter_from_xml(cfg: XmlConfig, sim_cfg: sim2d.Sim2DConfig,
-                          z_capacity: int, n_particles: int | None = None):
+                          z_capacity: int, n_particles: int | None = None,
+                          murty_child_cap: int | None = 12):
     """Wiring per fastslam2dSim.cpp:452-482."""
     dt = sim_cfg.dt
     n_particles = n_particles or cfg.get("filter.nParticles", 200, int)
@@ -64,6 +65,7 @@ def build_filter_from_xml(cfg: XmlConfig, sim_cfg: sim2d.Sim2DConfig,
         nmz_capacity=max(z_capacity + 4, 32),
         candidate_capacity=16,
         max_hypotheses=cfg.get("filter.update.maxNDataAssocHypotheses", 1, int),
+        murty_child_cap=murty_child_cap,
         max_da_loglik_diff=cfg.get("filter.update.maxDataAssocLogLikelihoodDiff", 3.0),
         min_log_likelihood=cfg.get("filter.weighting.minLogMeasurementLikelihood", -10.0),
         existence_prior=0.5,
@@ -131,6 +133,8 @@ def main(argv=None):
     ap.add_argument("--chunk", type=int, default=None,
                     help="steps per device dispatch (default 500, or 64 for "
                          "MH — the relay kills dispatches past ~1 min)")
+    ap.add_argument("--murty-cap", type=int, default=12,
+                    help="murty child_cap (0 = uncapped exact solver)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -145,7 +149,8 @@ def main(argv=None):
                           noise_seed=args.seed)
     zc = data.z.shape[1]
     filt = build_filter_from_xml(cfg, sim_cfg, z_capacity=max(zc, 4),
-                                 n_particles=args.particles)
+                                 n_particles=args.particles,
+                                 murty_child_cap=args.murty_cap or None)
     print(f"fastslam2dsim: T={sim_cfg.timesteps} P={filt.cfg.n_particles} "
           f"H={filt.cfg.max_hypotheses} Zmax={zc} device={jax.devices()[0]}")
     chunk = args.chunk or (64 if filt.cfg.max_hypotheses > 1 else 500)

@@ -85,6 +85,17 @@ class RBPHDConfig:
     min_measurements_before_resample: int = 1
     ess_threshold: float = 200.0
     use_cluster_process: bool = False
+    # fused Pallas map-update kernel (ops/pallas/map_update2d.py):
+    # None = auto (on TPU for 2-D RangeBearing configs with lane-aligned
+    # map capacity), "pallas" / "interpret" = force, "off" = XLA path.
+    fused_map_update: str | None = None
+    # Pallas merge: run exactly this many parallel merge passes instead of
+    # while-until-fixpoint.  MEASURED REJECT at 2 (bench r4: 487 -> 454
+    # steps/s AND median pose error 0.060 -> 0.092, tripping the 0.075
+    # accuracy gate): the fixpoint's extra passes both matter statistically
+    # and are cheaper than a fixed second pass on average.  Kept as an
+    # experiment knob; None (default) = fixpoint loop.
+    merge_passes: int | None = None
 
 
 class RBPHDState(struct.PyTreeNode):
@@ -332,11 +343,33 @@ class RBPHDFilter:
             )
 
         # ---------- merge + prune (RBPHDFilter.hpp:501-516)
-        gm_full = gm_ops.merge(gm_full, cfg.merge_threshold, cfg.merge_inflation)
+        gm_full = gm_ops.merge(gm_full, cfg.merge_threshold,
+                               cfg.merge_inflation,
+                               fixed_passes=cfg.merge_passes)
         gm_full = gm_ops.prune(gm_full, cfg.prune_threshold)
 
         return self._resample_phase(state, gm_full, log_w, unused, n_in_fov,
                                     z, z_mask, nZ)
+
+    def _fused_impl(self, meas, gm, dz: int) -> str | None:
+        """Pick the fused-Pallas map-update implementation, or None for the
+        XLA path.  Auto: TPU + 2-D RangeBearing + range-bearing gates +
+        lane-aligned map capacity (merge-style dispatch, ops/gm.py:228)."""
+        cfg = self.cfg
+        if cfg.fused_map_update is not None:
+            return (None if cfg.fused_map_update == "off"
+                    else cfg.fused_map_update)
+        from rfs_slam_tpu.models.measurement import RangeBearing
+
+        default_dev = jax.config.jax_default_device
+        platform = (default_dev.platform if default_dev is not None
+                    else jax.default_backend())
+        ok = (
+            isinstance(meas, RangeBearing) and gm.dim == 2 and dz == 2
+            and gm.capacity % 128 == 0 and platform == "tpu"
+            and tuple(self.gates.wrap_dims) == (1,)
+        )
+        return "pallas" if ok else None
 
     def _map_update(self, state: RBPHDState, z, z_mask, meas):
         """Map-update phase: Pd, batched EKF multi-correct, the [P, Z, M]
@@ -344,6 +377,12 @@ class RBPHDFilter:
         unused-measurement flags, and the new-Gaussian append
         (RBPHDFilter.hpp:543-725 — the reference's ``mapUpdate`` /
         ``mapUpdate_kf`` timing phases).
+
+        Two implementations with identical semantics: the fused Pallas
+        kernel (ops/pallas/map_update2d.py — the whole phase in VMEM, no
+        [P, Z, M] cube in HBM) when :meth:`_fused_impl` selects it, else
+        the XLA fusion chain.  Both feed the shared selection tail (exact
+        top-k + new-mean reconstruction + replace_weakest).
 
         Returns ``(gm_full, log_w, unused, n_in_fov, clutter_z)``.
         """
@@ -354,93 +393,118 @@ class RBPHDFilter:
         P, M = gm.w.shape
         Zc = z.shape[0]
         nZ = jnp.sum(z_mask)
-
-        # ---------- probability of detection (RBPHDFilter.hpp:597-609)
-        pd_raw, close = meas.pd_p(pose[:, None, :], gm.mean, gm.cov)
-        pd_raw = jnp.where(gm.alive, pd_raw, 0.0)
-        close = close & gm.alive
-        pd = jnp.where(close, 1.0, pd_raw)   # close-to-limit forces Pd = 1
-        n_in_fov = jnp.sum((pd != 0.0) & gm.alive, axis=1).astype(jnp.int32)
-
-        # ---------- batched EKF correction (KalmanFilter.hpp:261-342)
-        corr = correct_all(meas, self.gates, pose, gm.mean, gm.cov, z)
-
-        # ---------- nM x nZ weight table [P, Z, M] (RBPHDFilter.hpp:620-659)
-        md_gate = corr.md2 <= cfg.new_gaussian_md_threshold**2
-        cell = (
-            gm.alive[:, None, :] & (pd[:, None, :] > 0.0)
-            & z_mask[None, :, None] & md_gate & (corr.likelihood > 0.0)
-        )
-        w_tab = jnp.where(
-            cell, pd[:, None, :] * gm.w[:, None, :] * corr.likelihood, 0.0
-        )
-        clutter_z = jnp.broadcast_to(
-            meas.clutter_intensity(z, nZ), (Zc,)
-        )
-        col_sum = clutter_z[None, :] + jnp.sum(w_tab, axis=2)     # [P, Zc]
-        w_tab = jnp.where(z_mask[None, :, None], w_tab / col_sum[:, :, None], 0.0)
-
-        log_w = state.particles.log_w
-        if cfg.use_cluster_process:
-            # single-cluster-process weighting (RBPHDFilter.hpp:652-666)
-            w_km_sum = jnp.sum(jnp.where(gm.alive, gm.w, 0.0), axis=1)
-            log_prod = jnp.sum(
-                jnp.where(z_mask[None, :], jnp.log(col_sum), 0.0), axis=1
-            )
-            log_w = log_w + w_km_sum + log_prod
-
-        # ---------- missed-detection weights (RBPHDFilter.hpp:686-706)
-        w_km = gm.w
-        w_miss = (1.0 - pd) * w_km
-        row_sum = jnp.sum(w_tab, axis=1)                           # [P, M]
-        delta = pd * w_km - row_sum
-        comp = close & (w_km > cfg.birth_gaussian_weight) & (delta > 0.0)
-        w_miss = jnp.where(comp, jnp.minimum(w_miss + delta, 1.0), w_miss)
-        gm_old = gm.replace(
-            w=jnp.where(gm.alive, w_miss, gm.w),
-            w_prev=jnp.where(gm.alive, w_km, gm.w_prev),
-        )
-
-        # ---------- unused measurements (RBPHDFilter.hpp:709-720)
-        used = jnp.any(w_tab > 0.0, axis=2)                        # [P, Zc]
-        unused = z_mask[None, :] & ~used
-
-        # ---------- new Gaussians (RBPHDFilter.hpp:675-683): top-k cells of
-        # the weight table become new map entries.  Updated means are
-        # reconstructed ONLY at the k selected cells from the Kalman-gain
-        # planes (m + K nu, KalmanFilter.hpp:261-342) — materializing the
-        # full [D, P, Z, M] mean cube and gathering from it dominated the
-        # map-update's HBM traffic.
-        #
-        # Selection is hierarchical: per-measurement top-``new_per_z`` over
-        # the landmark lanes (iterated max — no sort), then an exact top-k
-        # over the Zc * new_per_z survivors.  A flat top_k over the
-        # [P, Zc * M] table was the single hottest op of the whole step
-        # (0.89 ms of a 2.7 ms step at bench shapes); the MD gate keeps only
-        # a few landmarks per measurement column, so per-column truncation
-        # at new_per_z is the same deviation class as the new_capacity cap.
+        dz = z.shape[-1]
         T_pz = min(cfg.new_per_z, M)
-        m_ids = jnp.arange(M)
-        v = w_tab
-        col_vals, col_midx = [], []
-        for _ in range(T_pz):
-            am = jnp.argmax(v, axis=2)                             # [P,Zc]
-            col_vals.append(jnp.max(v, axis=2))
-            col_midx.append(am)
-            v = jnp.where(m_ids[None, None, :] == am[:, :, None], 0.0, v)
-        cand_w = jnp.concatenate(col_vals, axis=1)                 # [P,Zc*T]
-        cand_m = jnp.concatenate(col_midx, axis=1)
+        clutter_z = jnp.broadcast_to(meas.clutter_intensity(z, nZ), (Zc,))
+        log_w = state.particles.log_w
+
+        impl = self._fused_impl(meas, gm, dz)
+        if impl is not None:
+            from rfs_slam_tpu.ops.pallas.map_update2d import (
+                fused_map_update2d, pack_params)
+
+            params = pack_params(meas, self.gates,
+                                 cfg.new_gaussian_md_threshold,
+                                 cfg.birth_gaussian_weight)
+            fo = fused_map_update2d(
+                pose, gm.mean[0], gm.mean[1], gm.cov[0], gm.cov[1],
+                gm.cov[2], gm.w, gm.w_prev, gm.alive, z, z_mask, params,
+                new_per_z=T_pz, interpret=(impl == "interpret"))
+            n_in_fov = jnp.sum(fo.pd != 0.0, axis=1).astype(jnp.int32)
+            if cfg.use_cluster_process:
+                w_km_sum = jnp.sum(jnp.where(gm.alive, gm.w, 0.0), axis=1)
+                log_prod = jnp.sum(
+                    jnp.where(z_mask[None, :], jnp.log(fo.col_sum), 0.0),
+                    axis=1)
+                log_w = log_w + w_km_sum + log_prod
+            gm_old = gm.replace(w=fo.w, w_prev=fo.w_prev)
+            unused = fo.unused
+            cand_w, cand_m = fo.cand_w, fo.cand_m
+            K_planes, zexp_planes, covupd_planes = fo.K, fo.z_exp, fo.cov_upd
+        else:
+            # ------ probability of detection (RBPHDFilter.hpp:597-609)
+            pd_raw, close = meas.pd_p(pose[:, None, :], gm.mean, gm.cov)
+            pd_raw = jnp.where(gm.alive, pd_raw, 0.0)
+            close = close & gm.alive
+            pd = jnp.where(close, 1.0, pd_raw)  # close-to-limit: Pd = 1
+            n_in_fov = jnp.sum((pd != 0.0) & gm.alive, axis=1).astype(jnp.int32)
+
+            # ------ batched EKF correction (KalmanFilter.hpp:261-342)
+            corr = correct_all(meas, self.gates, pose, gm.mean, gm.cov, z)
+
+            # ------ nM x nZ weight table [P, Z, M] (RBPHDFilter.hpp:620-659)
+            md_gate = corr.md2 <= cfg.new_gaussian_md_threshold**2
+            cell = (
+                gm.alive[:, None, :] & (pd[:, None, :] > 0.0)
+                & z_mask[None, :, None] & md_gate & (corr.likelihood > 0.0)
+            )
+            w_tab = jnp.where(
+                cell, pd[:, None, :] * gm.w[:, None, :] * corr.likelihood, 0.0
+            )
+            col_sum = clutter_z[None, :] + jnp.sum(w_tab, axis=2)  # [P, Zc]
+            w_tab = jnp.where(z_mask[None, :, None],
+                              w_tab / col_sum[:, :, None], 0.0)
+
+            if cfg.use_cluster_process:
+                # single-cluster-process weighting (RBPHDFilter.hpp:652-666)
+                w_km_sum = jnp.sum(jnp.where(gm.alive, gm.w, 0.0), axis=1)
+                log_prod = jnp.sum(
+                    jnp.where(z_mask[None, :], jnp.log(col_sum), 0.0), axis=1
+                )
+                log_w = log_w + w_km_sum + log_prod
+
+            # ------ missed-detection weights (RBPHDFilter.hpp:686-706)
+            w_km = gm.w
+            w_miss = (1.0 - pd) * w_km
+            row_sum = jnp.sum(w_tab, axis=1)                       # [P, M]
+            delta = pd * w_km - row_sum
+            comp = close & (w_km > cfg.birth_gaussian_weight) & (delta > 0.0)
+            w_miss = jnp.where(comp, jnp.minimum(w_miss + delta, 1.0), w_miss)
+            gm_old = gm.replace(
+                w=jnp.where(gm.alive, w_miss, gm.w),
+                w_prev=jnp.where(gm.alive, w_km, gm.w_prev),
+            )
+
+            # ------ unused measurements (RBPHDFilter.hpp:709-720)
+            used = jnp.any(w_tab > 0.0, axis=2)                    # [P, Zc]
+            unused = z_mask[None, :] & ~used
+
+            # ------ hierarchical per-measurement selection: top-new_per_z
+            # over the landmark lanes by iterated max (no sort).  A flat
+            # top_k over the [P, Zc * M] table was the single hottest op of
+            # the whole step (0.89 ms of a 2.7 ms step at bench shapes); the
+            # MD gate keeps only a few landmarks per measurement column, so
+            # per-column truncation at new_per_z is the same deviation class
+            # as the new_capacity cap.
+            m_ids = jnp.arange(M)
+            v = w_tab
+            col_vals, col_midx = [], []
+            for _ in range(T_pz):
+                am = jnp.argmax(v, axis=2)                         # [P,Zc]
+                col_vals.append(jnp.max(v, axis=2))
+                col_midx.append(am)
+                v = jnp.where(m_ids[None, None, :] == am[:, :, None], 0.0, v)
+            cand_w = jnp.concatenate(col_vals, axis=1)             # [P,Zc*T]
+            cand_m = jnp.concatenate(col_midx, axis=1)
+            K_planes, zexp_planes, covupd_planes = (
+                corr.K, corr.z_exp, corr.cov_upd)
+
+        # ---------- new Gaussians (RBPHDFilter.hpp:675-683): exact top-k
+        # over the Zc * new_per_z survivors become new map entries.  Updated
+        # means are reconstructed ONLY at the k selected cells from the
+        # Kalman-gain planes (m + K nu, KalmanFilter.hpp:261-342) —
+        # materializing the full [D, P, Z, M] mean cube and gathering from
+        # it dominated the map-update's HBM traffic.
         cand_z = jnp.tile(jnp.arange(Zc), T_pz)[None, :]           # [1,Zc*T]
         k = min(cfg.new_capacity, Zc * T_pz)
         top_w, top_c = jax.lax.top_k(cand_w, k)                    # [P,k]
         z_idx = jnp.take_along_axis(
             jnp.broadcast_to(cand_z, cand_m.shape), top_c, axis=1)
         m_idx = jnp.take_along_axis(cand_m, top_c, axis=1)
-        ohm = planar.onehot(m_idx, M, w_tab.dtype)                 # [P,k,M]
-        dz = z.shape[-1]
+        ohm = planar.onehot(m_idx, M, cand_w.dtype)                # [P,k,M]
         # one fused lane-gather for every per-landmark plane we need
         planes = jnp.concatenate(
-            [gm.mean, corr.K, corr.z_exp, corr.cov_upd], axis=0
+            [gm.mean, K_planes, zexp_planes, covupd_planes], axis=0
         )                                                          # [X,P,M]
         sel = planar.take_lane(planes, ohm[None])                  # [X,P,k]
         mean_sel, K_sel, zexp_sel, new_cov = (

@@ -212,7 +212,8 @@ def _merge_pass(gm: GMState, t2, f_inflation):
 
 
 def merge(gm: GMState, threshold, f_inflation, max_passes: int = 8,
-          impl: str | None = None) -> GMState:
+          impl: str | None = None,
+          fixed_passes: int | None = None) -> GMState:
     """Merge until fixed point (bounded passes).
 
     Reference: GaussianMixture.hpp:394-416 (O(M^2) greedy in-order scan —
@@ -237,7 +238,8 @@ def merge(gm: GMState, threshold, f_inflation, max_passes: int = 8,
     if use_pallas:
         from rfs_slam_tpu.ops.pallas.merge2d import merge2d
 
-        return merge2d(gm, threshold, f_inflation, max_passes=max_passes)
+        return merge2d(gm, threshold, f_inflation, max_passes=max_passes,
+                       fixed_passes=fixed_passes)
 
     t2 = threshold * threshold
 

@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 from rfs_slam_tpu.core.state import GMState
 
 
-def _merge_kernel(t2_ref, infl_ref, max_pass_ref,
+def _merge_kernel(fixed_passes, t2_ref, infl_ref, max_pass_ref,
                   mx_ref, my_ref, p00_ref, p01_ref, p11_ref,
                   w_ref, wp_ref, alive_ref,
                   omx_ref, omy_ref, op00_ref, op01_ref, op11_ref,
@@ -104,7 +104,14 @@ def _merge_kernel(t2_ref, infl_ref, max_pass_ref,
     init = (mx_ref[...], my_ref[...], p00_ref[...], p01_ref[...],
             p11_ref[...], w_ref[...], wp_ref[...], alive_ref[...],
             jnp.int32(1), jnp.int32(0))
-    out = jax.lax.while_loop(cond, one_pass, init)
+    if fixed_passes is not None:
+        # fixed pass count (experiment knob; MEASURED REJECT as default —
+        # bench r4: slower AND less accurate than the fixpoint loop, see
+        # RBPHDConfig.merge_passes)
+        out = jax.lax.fori_loop(0, fixed_passes,
+                                lambda _, st: one_pass(st), init)
+    else:
+        out = jax.lax.while_loop(cond, one_pass, init)
     mx, my, p00, p01, p11, w, wp, alive = out[:8]
     omx_ref[...] = mx
     omy_ref[...] = my
@@ -116,9 +123,11 @@ def _merge_kernel(t2_ref, infl_ref, max_pass_ref,
     oalive_ref[...] = alive
 
 
-@functools.partial(jax.jit, static_argnames=("max_passes", "block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("max_passes", "block",
+                                             "interpret", "fixed_passes"))
 def merge2d(gm: GMState, threshold, f_inflation, max_passes: int = 8,
-            block: int = 8, interpret: bool = False) -> GMState:
+            block: int = 8, interpret: bool = False,
+            fixed_passes: int | None = None) -> GMState:
     """Pallas merge for D=2 mixtures; semantics match ops/gm.py merge."""
     D = gm.dim
     P, N = gm.w.shape
@@ -145,7 +154,7 @@ def merge2d(gm: GMState, threshold, f_inflation, max_passes: int = 8,
     bspec = pl.BlockSpec((block, N), lambda i: (i, 0), memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
-        _merge_kernel,
+        functools.partial(_merge_kernel, fixed_passes),
         grid=grid,
         in_specs=[sspec, sspec, sspec] + [bspec] * 8,
         out_specs=tuple([bspec] * 8),
