@@ -56,8 +56,18 @@ def final_map_cola(filter_kind, data, sim_cfg, gm_mean, gm_w, gm_alive,
 
 def run_one(filter_kind, cfg, sim_cfg, traj_seed, noise_seed, z_capacity,
             n_particles):
-    data = sim2d.generate(sim_cfg, traj_seed=traj_seed, noise_seed=noise_seed,
-                          z_capacity=z_capacity)
+    try:
+        data = sim2d.generate(sim_cfg, traj_seed=traj_seed,
+                              noise_seed=noise_seed, z_capacity=z_capacity)
+    except ValueError:
+        # high-clutter cells overflow the default capacity; learn the
+        # natural max and bucket it (multiples of 16 bound the number of
+        # distinct compiled shapes across the sweep)
+        probe = sim2d.generate(sim_cfg, traj_seed=traj_seed,
+                               noise_seed=noise_seed, z_capacity=None)
+        z_capacity = max(z_capacity, -(-probe.z.shape[1] // 16) * 16)
+        data = sim2d.generate(sim_cfg, traj_seed=traj_seed,
+                              noise_seed=noise_seed, z_capacity=z_capacity)
     if filter_kind == "rbphd":
         from rfs_slam_tpu.apps import rbphdslam2dsim as app
     else:
@@ -94,13 +104,17 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--particles", type=int, default=None)
     ap.add_argument("--out", default="batchResults.dat")
+    ap.add_argument("--zc", type=int, default=48,
+                    help="measurement capacity (auto-raised per cell when a "
+                         "high-clutter sim overflows it)")
+    ap.add_argument("--seed-offset", type=int, default=0)
     args = ap.parse_args(argv)
 
     cfg = XmlConfig(args.cfg)
     base = load_sim2d(cfg)
     if args.steps:
         base = dataclasses.replace(base, timesteps=args.steps)
-    zc = 48
+    zc = args.zc
 
     n = 0
     with open(args.out, "a") as f:
@@ -110,7 +124,8 @@ def main(argv=None):
         for pd in args.pd:
             for clutter in args.clutter:
                 sim_cfg = dataclasses.replace(base, pd=pd, clutter=clutter)
-                for seed in range(args.seeds):
+                for seed in range(args.seed_offset,
+                                  args.seed_offset + args.seeds):
                     t0 = time.time()
                     try:
                         mean_err, final_err, map_err, wall = run_one(

@@ -162,9 +162,19 @@ def _merge_pass(gm: GMState, t2, f_inflation):
     # descending weight first (gm_ops.merge does) so heavier Gaussians
     # absorb lighter ones, matching the reference's mostly-weight-sorted
     # vector order (prune re-sorts it every update, GaussianMixture.hpp:477).
+    #
+    # SAFE-ABSORBER rule: only a component with NO smaller gated partner may
+    # absorb this pass.  Without it a broken chain (k-x gated, x-j gated,
+    # k-j not) lets x absorb j in the same pass in which k absorbs x's
+    # PRE-merge weight — j's mass is silently lost (found round 4; pinned
+    # by test_merge_conserves_mass_in_broken_chain).  A deferred x simply
+    # absorbs on a later pass; the fixpoint is unchanged and mass conserves.
     i_ids = jnp.broadcast_to(idx[None, :, None], gate.shape)
-    first_i = jnp.min(jnp.where(gate, i_ids, M), axis=1)       # [P, j]
-    claimed = gate & (i_ids == first_i[:, None, :])
+    first_any = jnp.min(jnp.where(gate, i_ids, M), axis=1)     # [P, j]
+    can_absorb = first_any == M                                # [P, i]
+    safe_gate = gate & can_absorb[:, :, None]
+    first_i = jnp.min(jnp.where(safe_gate, i_ids, M), axis=1)  # [P, j]
+    claimed = safe_gate & (i_ids == first_i[:, None, :])
     j_ids = jnp.broadcast_to(idx[None, None, :], gate.shape)
     j_star = jnp.min(jnp.where(claimed, j_ids, M), axis=2)     # [P, i]
     has_pair = j_star < M

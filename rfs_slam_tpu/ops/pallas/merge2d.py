@@ -60,8 +60,14 @@ def _merge_kernel(fixed_passes, t2_ref, infl_ref, max_pass_ref,
         both = (alive[:, :, None] > 0) & (alive[:, None, :] > 0)
         gate = both & upper[None] & ((d2_ij <= t2) | (d2_ji <= t2))
 
-        first_i = jnp.min(jnp.where(gate, row_i[None], N), axis=1)   # [B, j]
-        claimed = gate & (row_i[None] == first_i[:, None, :])
+        # safe-absorber rule (see ops/gm.py:_merge_pass): a component with a
+        # smaller gated partner must not absorb this pass, else a broken
+        # chain loses the absorbed component's mass
+        first_any = jnp.min(jnp.where(gate, row_i[None], N), axis=1)  # [B,j]
+        can_absorb = first_any == N
+        safe_gate = gate & can_absorb[:, :, None]
+        first_i = jnp.min(jnp.where(safe_gate, row_i[None], N), axis=1)
+        claimed = safe_gate & (row_i[None] == first_i[:, None, :])
         j_star = jnp.min(jnp.where(claimed, col_j[None], N), axis=2)  # [B, i]
         sel = (claimed & (col_j[None] == j_star[:, :, None])).astype(jnp.float32)
 

@@ -109,8 +109,9 @@ def test_batchsim_run_one_smoke():
     cfg = XmlConfig("/root/reference/cfg/rbphdslam2dSim.xml")
     sim_cfg = dataclasses.replace(load_sim2d(cfg), timesteps=40,
                                   n_landmarks=8)
-    mean_err, final_err, wall = run_one(
+    mean_err, final_err, map_err, wall = run_one(
         "rbphd", cfg, sim_cfg, traj_seed=1, noise_seed=1,
         z_capacity=8, n_particles=8)
     assert np.isfinite(mean_err) and np.isfinite(final_err)
+    assert np.isfinite(map_err) and map_err >= 0.0
     assert mean_err < 5.0   # coarse sanity at tiny particle count

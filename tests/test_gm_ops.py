@@ -74,6 +74,51 @@ def test_merge_chain_converges():
     np.testing.assert_allclose(float(out.w[0][np.asarray(out.alive[0])][0]), 0.9, rtol=1e-5)
 
 
+def test_merge_conserves_mass_in_broken_chain():
+    """k-x gated, x-j gated, k-j NOT gated: the parallel pass must not let
+    x absorb j while k absorbs x's pre-merge weight — that loses j's mass
+    (round-4 bug: both implementations dropped w_j in this configuration).
+    The safe-absorber rule defers x's absorption to a later pass."""
+    S = 0.04 * np.eye(2)  # sigma = 0.2
+    # 0 at x=0, 1 at x=0.5, 2 at x=1.0; threshold 3 => d<=0.6 merges
+    g = make_gm([[0.0, 0.0], [0.5, 0.0], [1.0, 0.0]], [S] * 3,
+                [0.5, 0.3, 0.2])
+    d01 = 0.5 / 0.2
+    assert d01 <= 3.0 and (1.0 / 0.2) > 3.0
+    out = gm_ops.merge(g, threshold=3.0, f_inflation=1.0)
+    total = float(np.asarray(out.w[0])[np.asarray(out.alive[0])].sum())
+    np.testing.assert_allclose(total, 1.0, rtol=1e-5)
+
+
+def test_merge_conserves_mass_random(rng):
+    """Total alive weight is invariant under merge, any configuration."""
+    for trial in range(5):
+        P, M = 3, 24
+        mean = rng.normal(size=(P, M, 2)).astype(np.float32) * 1.5
+        S = np.broadcast_to(0.25 * np.eye(2, dtype=np.float32), (P, M, 2, 2))
+        w = rng.uniform(0.1, 1.0, size=(P, M)).astype(np.float32)
+        alive = rng.uniform(size=(P, M)) < 0.8
+        g = make_gm_raw(mean, S, w, alive)
+        before = (w * alive).sum(axis=1)
+        out = gm_ops.merge(g, threshold=1.5, f_inflation=1.5)
+        after = np.asarray(
+            np.where(np.asarray(out.alive), np.asarray(out.w), 0.0)
+        ).sum(axis=1)
+        np.testing.assert_allclose(after, before, rtol=1e-4,
+                                   err_msg=f"trial {trial}")
+
+
+def make_gm_raw(mean, cov, w, alive):
+    from rfs_slam_tpu.core import planar
+
+    return GMState(
+        mean=planar.pack_vec(jnp.asarray(mean)),
+        cov=planar.pack_sym(jnp.asarray(cov)),
+        w=jnp.asarray(w), w_prev=jnp.zeros_like(jnp.asarray(w)),
+        alive=jnp.asarray(alive),
+    )
+
+
 def test_append_compacts():
     g = make_gm([[0, 0]], [np.eye(2)], [0.5], capacity=2)
     from rfs_slam_tpu.core import planar
