@@ -64,8 +64,9 @@ def _merge_kernel(fixed_passes, t2_ref, infl_ref, max_pass_ref,
         # smaller gated partner must not absorb this pass, else a broken
         # chain loses the absorbed component's mass
         first_any = jnp.min(jnp.where(gate, row_i[None], N), axis=1)  # [B,j]
-        can_absorb = first_any == N
-        safe_gate = gate & can_absorb[:, :, None]
+        # broadcast in i32 and compare after the minor-dim insertion —
+        # Mosaic only supports inserting a minor dim on 32-bit types
+        safe_gate = gate & (first_any[:, :, None] == N)
         first_i = jnp.min(jnp.where(safe_gate, row_i[None], N), axis=1)
         claimed = safe_gate & (row_i[None] == first_i[:, None, :])
         j_star = jnp.min(jnp.where(claimed, col_j[None], N), axis=2)  # [B, i]

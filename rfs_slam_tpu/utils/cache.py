@@ -34,7 +34,15 @@ def enable(cache_dir: str | None = None) -> None:
     # old exact path are orphaned (never read again), not corrupted — delete
     # the old root to reclaim the disk.
     platform = os.environ.get("JAX_PLATFORMS", "auto") or "auto"
-    cache_dir = os.path.join(cache_dir, re.sub(r"[^\w-]+", "_", platform))
+    # the JAX_PLATFORMS value alone is NOT a sufficient key: a process with
+    # the PJRT plugin on PYTHONPATH emits CPU executables carrying
+    # plugin-specific machine features (prefer-no-scatter/gather) EVEN when
+    # JAX_PLATFORMS=cpu, and plain-CPU processes then warn about possible
+    # SIGILL when loading them — include plugin presence in the key
+    plugged = "-plug" if ".axon_site" in os.environ.get("PYTHONPATH", "") \
+        else ""
+    cache_dir = os.path.join(
+        cache_dir, re.sub(r"[^\w-]+", "_", platform) + plugged)
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
