@@ -173,6 +173,22 @@ def run_tpu(sim_cfg, data, filt):
     first_run_s, out = timed_run(state)
     errs = [run_err(out)]
 
+    # ---- second, DETERMINISTIC accuracy gate: replay the committed C++
+    # baseline dump (data/bl_dump, written by `native/baseline --dump`)
+    # through the same compiled executable (identical shapes, zero extra
+    # compile).  Fixed data + fixed PRNGKey(0) makes this nearly noise-free
+    # (operating point ~0.059 m vs the C++ double baseline's 0.574 m on the
+    # same data, RESULTS.md), unlike the 4-seed median below, whose run-level
+    # spread is ~0.05-0.17 m on this chaotic resampling workload.
+    id_gt, id_inputs = load_identical_data()
+    t0 = time.time()
+    id_out = compiled(filt.init_state(jax.random.PRNGKey(0), jnp.zeros(3)),
+                      id_inputs)
+    id_best = np.asarray(id_out[1])
+    identical_s = time.time() - t0
+    id_err = np.linalg.norm(id_best[:, :2] - id_gt[1:, :2], axis=1)
+    identical_err = float(np.median(id_err[150:]))
+
     # 3 more timed runs with DIFFERENT filter init seeds: the accuracy
     # metric is the median over the 4 runs.  A single-seed median pose
     # error on this chaotic resampling workload spans ~0.05-0.17 m across
@@ -194,7 +210,34 @@ def run_tpu(sim_cfg, data, filt):
         "first_d2h_s": first_d2h_s,
         "median_pose_err_m": float(np.median(errs)),
         "pose_err_runs_m": [round(e, 4) for e in errs],
+        "identical_data_err_m": identical_err,
+        "identical_data_s": identical_s,
     }
+
+
+def load_identical_data():
+    """The committed C++ baseline dump as bench-shaped scan inputs."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    d = os.path.join(here, "native", "bl_dump")
+    go = np.loadtxt(os.path.join(d, "gt_odo.txt"))
+    gt, odo = go[:, :3], go[:, 3:]
+    z = np.zeros((T, Z_CAPACITY, 2), np.float32)
+    z_mask = np.zeros((T, Z_CAPACITY), bool)
+    counts = np.zeros(T, np.int32)
+    for k, r, b in np.loadtxt(os.path.join(d, "z.txt")):
+        k = int(k)
+        if counts[k] < Z_CAPACITY:
+            z[k, counts[k]] = (r, b)
+            z_mask[k, counts[k]] = True
+            counts[k] += 1
+    inputs = (
+        jnp.asarray(odo[1:], jnp.float32),
+        jnp.asarray(z[1:]),
+        jnp.asarray(z_mask[1:]),
+        jnp.asarray(gt[1:], jnp.float32),
+        jnp.arange(1, T) <= 100,
+    )
+    return gt, inputs
 
 
 def baseline_tps():
@@ -233,18 +276,25 @@ def baseline_tps():
     return None
 
 
-# Accuracy anchor, applied to the MEDIAN over the bench's 4 runs (4 filter
-# init seeds).  History: r2 0.0326 -> r3 0.0597 (hot-path rewrites) on a
-# single seed; round 4 measured the single-seed spread at 0.056-0.166 m
-# (6 seeds) — wider than the old 0.10 gate itself, so single-draw gating
-# was a coin flip.  The 4-seed median operating point is ~0.09-0.11 m
-# after the round-4 mass-conserving merge fix (which matches the
-# reference's sequential-sweep behavior; the old lossy merge happened to
-# delete ambiguous chain clusters and scored ~0.06).  Gate = ~1.4x the
-# operating point.  (Context: the C++ double baseline scores 0.574 m on
-# its own data; the TPU filter 0.555 m on that same data —
-# scripts/sim_accuracy_check.py.)
+# Accuracy anchors.  Two gates since round 5:
+#
+# 1. ACCURACY_ANCHOR_M — the MEDIAN over the bench's 4 runs (4 filter init
+#    seeds).  History: r2 0.0326 -> r3 0.0597 (hot-path rewrites) on a
+#    single seed; round 4 measured the single-seed spread at 0.056-0.166 m
+#    (6 seeds) — wider than the old 0.10 gate itself, so single-draw gating
+#    was a coin flip.  The 4-seed median operating point is ~0.09-0.11 m
+#    after the round-4 mass-conserving merge fix (which matches the
+#    reference's sequential-sweep behavior; the old lossy merge happened to
+#    delete ambiguous chain clusters and scored ~0.06).  Gate = ~1.4x the
+#    operating point (BENCH_r04 median: 0.1138 m).
+# 2. IDENTICAL_DATA_ANCHOR_M — deterministic replay of the committed C++
+#    dump (native/bl_dump, fixed data + fixed seed; run-to-run noise ~0).
+#    Operating point
+#    0.0589 m (RESULTS.md; the C++ double baseline scores 0.574 m on this
+#    same data).  Gate = ~2x the operating point.  This is the low-variance
+#    regression anchor; it does NOT move when the 4-seed gate is re-fit.
 ACCURACY_ANCHOR_M = 0.15
+IDENTICAL_DATA_ANCHOR_M = 0.12
 
 
 def main():
@@ -253,6 +303,7 @@ def main():
     base = baseline_tps()
     vs = stats["timesteps_per_sec"] / base if base else None
     accuracy_ok = stats["median_pose_err_m"] <= ACCURACY_ANCHOR_M
+    identical_ok = stats["identical_data_err_m"] <= IDENTICAL_DATA_ANCHOR_M
     print(json.dumps({
         "metric": "rbphd2dsim_200p_timesteps_per_sec",
         "value": round(stats["timesteps_per_sec"], 2),
@@ -264,13 +315,17 @@ def main():
             "first_d2h_s": round(stats["first_d2h_s"], 1),
             "wall_s": round(stats["wall_s"], 3),
             "median_pose_err_m": round(stats["median_pose_err_m"], 4),
+            "pose_err_runs_m": stats["pose_err_runs_m"],
             "accuracy_anchor_m": ACCURACY_ANCHOR_M,
             "accuracy_ok": accuracy_ok,
+            "identical_data_err_m": round(stats["identical_data_err_m"], 4),
+            "identical_data_anchor_m": IDENTICAL_DATA_ANCHOR_M,
+            "identical_data_ok": identical_ok,
             "baseline_timesteps_per_sec": base,
             "device": str(jax.devices()[0]),
         },
     }))
-    if not accuracy_ok:
+    if not (accuracy_ok and identical_ok):
         sys.exit(1)
 
 

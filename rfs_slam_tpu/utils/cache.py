@@ -18,6 +18,40 @@ import os
 import re
 
 
+_BUILTIN_BACKENDS = frozenset({"cpu", "cuda", "rocm", "tpu", "metal"})
+
+
+def _pjrt_plugin_present() -> bool:
+    """True when an out-of-tree PJRT plugin is registered in this process.
+
+    Probes JAX's backend-factory registry — every discovery mechanism
+    (``jax_plugins`` namespace package, entry points, a ``sitecustomize``
+    hook) ends there — so the cache is keyed on the plugin actually being
+    loadable, not on how it reached ``sys.path``.
+    """
+    try:
+        from jax._src import xla_bridge
+
+        extras = set(map(str.lower, xla_bridge._backend_factories)) \
+            - _BUILTIN_BACKENDS
+        return bool(extras)
+    except Exception:  # noqa: BLE001 — private registry; fall back below
+        pass
+    try:
+        import importlib.util
+
+        if importlib.util.find_spec("jax_plugins") is not None:
+            return True
+        import importlib.metadata
+
+        return bool(tuple(
+            importlib.metadata.entry_points(group="jax_plugins")))
+    except Exception:  # noqa: BLE001 — metadata backends vary
+        import os
+
+        return ".axon_site" in os.environ.get("PYTHONPATH", "")
+
+
 def enable(cache_dir: str | None = None) -> None:
     import jax
 
@@ -35,12 +69,14 @@ def enable(cache_dir: str | None = None) -> None:
     # the old root to reclaim the disk.
     platform = os.environ.get("JAX_PLATFORMS", "auto") or "auto"
     # the JAX_PLATFORMS value alone is NOT a sufficient key: a process with
-    # the PJRT plugin on PYTHONPATH emits CPU executables carrying
+    # the PJRT plugin importable emits CPU executables carrying
     # plugin-specific machine features (prefer-no-scatter/gather) EVEN when
     # JAX_PLATFORMS=cpu, and plain-CPU processes then warn about possible
-    # SIGILL when loading them — include plugin presence in the key
-    plugged = "-plug" if ".axon_site" in os.environ.get("PYTHONPATH", "") \
-        else ""
+    # SIGILL when loading them — include plugin presence in the key.
+    # Plugin presence = any discoverable jax_plugins entry point / namespace
+    # package (the mechanism PJRT plugins register through), not a PYTHONPATH
+    # substring, so site-packages or .pth installs are keyed too.
+    plugged = "-plug" if _pjrt_plugin_present() else ""
     cache_dir = os.path.join(
         cache_dir, re.sub(r"[^\w-]+", "_", platform) + plugged)
     os.makedirs(cache_dir, exist_ok=True)

@@ -26,7 +26,10 @@ import numpy as np
 
 import bench
 
-dump = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bl_dump"
+# default to the dump committed for the bench's deterministic gate
+dump = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "native", "bl_dump")
 T, ZC = bench.T, bench.Z_CAPACITY
 
 go = np.loadtxt(os.path.join(dump, "gt_odo.txt"))
