@@ -38,7 +38,7 @@ from rfs_slam_tpu.ops.ekf import InnovationGates
 
 def build_filter_from_xml(cfg: XmlConfig, sim_cfg: sim2d.Sim2DConfig,
                           z_capacity: int, n_particles: int | None = None,
-                          murty_child_cap: int | None = 12):
+                          murty_child_cap: int | None = 6):
     """Wiring per fastslam2dSim.cpp:452-482."""
     dt = sim_cfg.dt
     n_particles = n_particles or cfg.get("filter.nParticles", 200, int)
@@ -133,7 +133,7 @@ def main(argv=None):
     ap.add_argument("--chunk", type=int, default=None,
                     help="steps per device dispatch (default 500, or 64 for "
                          "MH — the relay kills dispatches past ~1 min)")
-    ap.add_argument("--murty-cap", type=int, default=12,
+    ap.add_argument("--murty-cap", type=int, default=6,
                     help="murty child_cap (0 = uncapped exact solver)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)

@@ -95,11 +95,18 @@ class FastSLAMConfig:
     # static cap on Murty children solved per expansion wave (see
     # ops/assignment.murty): the uncapped wave width is nmz_capacity - 1
     # while only ~n_in_range children are ever valid, and on TPU the
-    # vmapped-Hungarian wave cost scales with width.  Exact while the
-    # in-range landmark count stays <= the cap (2-D sim: p90 = 14, max 17
-    # measured over 1500 steps); beyond it, children of the weakest-ranked
-    # landmarks are dropped.  None = unbounded (exact, slow).
-    murty_child_cap: int | None = 12
+    # vmapped-Hungarian wave cost scales with width.  At the 2-D sim's
+    # measured in-range counts (mean 11, p90 14, max 17) the default cap
+    # of 12 truncates ROUTINELY (~10%+ of expansions) — but since round 5
+    # the children dropped are those with the lowest dual upper bound and
+    # those provably outside max_da_loglik_diff of the best hypothesis
+    # (murty prune_window), so the discard is the provably-weakest tail,
+    # not the weakest-ranked rows (measured cost of cap 12 vs exact cap
+    # 17 at r4, rank-ordered: ~0.01 m).  The round-5 default drops to 6
+    # on the strength of that bound ordering: murty phase 697 -> 356 ms
+    # at MH sim shapes (PERF.md round-5 table), best hypothesis exact at
+    # every measured shape.  None = unbounded (exact, slow).
+    murty_child_cap: int | None = 6
     max_da_loglik_diff: float = 3.0  # maxDataAssocLogLikelihoodDiff_
     min_log_likelihood: float = -10.0  # minLogMeasurementLikelihood_
     existence_prior: float = 0.5     # landmarkExistencePrior_
@@ -465,7 +472,8 @@ class FastSLAMFilter:
         n_m = jnp.sum(row_valid, axis=1)
         das, scores, valid = jax.vmap(
             lambda t, nr: murty(t, H, real_rows=nr, real_cols=nZ,
-                                child_cap=cfg.murty_child_cap)
+                                child_cap=cfg.murty_child_cap,
+                                prune_window=cfg.max_da_loglik_diff)
         )(table, n_m)                                   # [Pc,H,NMZ], [Pc,H]
         keep = valid & (scores[:, :1] - scores <= cfg.max_da_loglik_diff)
         keep = keep & alive_p[:, None]
@@ -599,7 +607,8 @@ class FastSLAMFilter:
             n_z_real = jnp.sum(z_mask)
             das, scores, valid = jax.vmap(
                 lambda t, nr: murty(t, H, real_rows=nr, real_cols=n_z_real,
-                                    child_cap=cfg.murty_child_cap)
+                                    child_cap=cfg.murty_child_cap,
+                                    prune_window=cfg.max_da_loglik_diff)
             )(table, n_m)
             keep = valid & (scores[:, :1] - scores <= cfg.max_da_loglik_diff)
             das = jnp.where(keep[:, :, None], das, das[:, :1, :])

@@ -37,6 +37,16 @@ def hungarian(cost: jax.Array):
     Shortest-augmenting-path formulation with dual potentials; all loops are
     fixed-bound ``fori``/``while_loop`` so the program is one compiled kernel.
     """
+    row_to_col, total, _, _ = _hungarian_uv(cost)
+    return row_to_col, total
+
+
+def _hungarian_uv(cost: jax.Array):
+    """:func:`hungarian` + the optimal dual potentials ``(u, v)`` [n+1]
+    (1-indexed rows/cols; slot 0 is the virtual column).  For the MINIMIZED
+    matrix ``a = -cost`` the duals satisfy ``u[i+1] + v[j+1] <= a[i, j]``
+    with equality on assigned pairs — the certificate Murty's dual child
+    bound is built from (see :func:`murty`)."""
     n = cost.shape[-1]
     a = -cost  # minimize
     INF = jnp.asarray(jnp.finfo(a.dtype).max / 8, a.dtype)
@@ -131,7 +141,7 @@ def hungarian(cost: jax.Array):
         axis=1,
     )
     total = jnp.sum(cost[jnp.arange(n), row_to_col])
-    return row_to_col, total
+    return row_to_col, total, u, v
 
 
 hungarian_batched = jax.vmap(hungarian)
@@ -139,7 +149,9 @@ hungarian_batched = jax.vmap(hungarian)
 
 def murty(cost: jax.Array, k: int,
           real_rows: int | None = None, real_cols: int | None = None,
-          child_cap: int | None = None):
+          child_cap: int | None = None,
+          prune_window: float | None = None,
+          return_nvalid: bool = False):
     """k-best max-sum assignments by Murty partitioning.
 
     Returns ``(assignments [k, n] int32, scores [k], valid [k] bool)`` in
@@ -167,18 +179,35 @@ def murty(cost: jax.Array, k: int,
     scalars (per-particle in-range landmark counts are data-dependent).
 
     ``child_cap`` (static int) bounds the number of Murty children SOLVED
-    per expansion wave: valid children (free rows below ``partition_max``)
-    are compacted to the leading slots and only the first ``child_cap`` are
-    solved.  With traced ``real_rows`` the uncapped wave width is ``n - 1``
-    even though only ~``real_rows`` children are ever valid — on TPU the
-    vmapped Hungarian cost scales with wave width (measured 742 ms vs 35 ms
-    per wave at 31x vs 1x width, MH 2-D sim shapes), so capping the wave at
-    a small static bound is the difference between ~2.4 s and ~0.2 s per
-    MH-FastSLAM murty call.  EXACT whenever the number of valid children at
-    every expansion stays <= child_cap (i.e. in-range landmark count <=
-    child_cap); beyond that, children of the lowest-priority (weakest, given
-    the rank-compacted table) rows are dropped, the same truncation class as
-    the table's NMZ capacity itself.
+    per expansion wave: with traced ``real_rows`` the uncapped wave width is
+    ``n - 1`` even though only ~``real_rows`` children are ever valid — on
+    TPU the vmapped Hungarian cost scales with wave width (measured 742 ms
+    vs 35 ms per wave at 31x vs 1x width, MH 2-D sim shapes), so capping
+    the wave at a small static bound is the difference between ~2.4 s and
+    ~0.2 s per MH-FastSLAM murty call.  When the cap binds, children are
+    kept in DESCENDING DUAL-BOUND order: for the child that bans parent
+    assignment (r, c), the parent's optimal duals certify
+    ``child_best <= parent_best - min_{j != c} slack[r, j]`` (slack of the
+    minimized effective matrix; the classic Murty speedup —
+    MurtyAlgorithm.cpp's queue discipline achieves the same pruning
+    sequentially), so the dropped children are those provably weakest, not
+    those of the weakest-ranked table rows.  EXACT whenever the number of
+    valid children at every expansion stays <= child_cap; beyond that the
+    truncation error is bounded by the discarded bounds.
+
+    ``prune_window`` (static float): also mark a child INVALID when its dual
+    upper bound falls more than ``prune_window`` below the best (first)
+    assignment's score.  Its whole subtree is then provably outside the
+    window too, so the k-best WITHIN the window are returned exactly — this
+    matches MH-FastSLAM's ``maxDataAssocLogLikelihoodDiff`` discard
+    (FastSLAM.hpp:513-523), which drops such hypotheses anyway.  With
+    ``prune_window`` set, fewer than ``k`` valid rows may return even when
+    k distinct assignments exist.
+
+    ``return_nvalid``: additionally return ``n_valid [k-1] int32`` — the
+    number of bound-surviving children at each expansion wave BEFORE the
+    cap, so callers can count how often ``child_cap`` truncates
+    (``sum(max(0, n_valid - child_cap))``).
     """
     n = cost.shape[-1]
     nR = n if real_rows is None else real_rows
@@ -211,10 +240,14 @@ def murty(cost: jax.Array, k: int,
     sol0 = jnp.zeros((pool, n), jnp.int32)
     score0 = jnp.full((pool,), -jnp.inf, cost.dtype)
     active0 = jnp.zeros((pool,), bool)
+    # dual potentials of each solved subproblem (for the child bound)
+    us0 = jnp.zeros((pool, n + 1), cost.dtype)
+    vs0 = jnp.zeros((pool, n + 1), cost.dtype)
 
     cols = jnp.arange(n)
 
-    def solve(forced, ban_r, ban_c, ban_aug):
+    def build_eff(forced, ban_r, ban_c, ban_aug):
+        """Effective cost matrix of a subproblem (bans + forcing applied)."""
         c = cost
         for b in range(k):
             row_hit = cols == ban_r[b]                      # [n]
@@ -223,28 +256,39 @@ def murty(cost: jax.Array, k: int,
                           & row_hit[:, None] & col_hit[None, :], NEG, c)
         is_forced = forced >= 0
         forced_mask = (cols[None, :] == forced[:, None]) & is_forced[:, None]
-        c = jnp.where(is_forced[:, None] & ~forced_mask, NEG, c)
-        sol, total = hungarian(c)
-        return sol, total
+        return jnp.where(is_forced[:, None] & ~forced_mask, NEG, c)
 
-    sol, total = solve(forced0[0], ban_r0[0], ban_c0[0], ban_aug0[0])
+    def solve(forced, ban_r, ban_c, ban_aug):
+        sol, total, u, v = _hungarian_uv(
+            build_eff(forced, ban_r, ban_c, ban_aug))
+        return sol, total, u, v
+
+    sol, total, u_r, v_r = solve(forced0[0], ban_r0[0], ban_c0[0], ban_aug0[0])
     sol0 = sol0.at[0].set(sol)
     score0 = score0.at[0].set(total)
     active0 = active0.at[0].set(True)
+    us0 = us0.at[0].set(u_r)
+    vs0 = vs0.at[0].set(v_r)
+    root_score = total
 
     out_sols = jnp.zeros((k, n), jnp.int32)
     out_scores = jnp.full((k,), -jnp.inf, cost.dtype)
     out_valid = jnp.zeros((k,), bool)
+    nvalid0 = jnp.zeros((max(k - 1, 1),), jnp.int32)
 
     cand_rows = jnp.arange(pb_full)
 
     def iteration(t, carry):
-        (forced, ban_r, ban_c, ban_aug, sols, scores, active,
-         out_sols, out_scores, out_valid) = carry
+        (forced, ban_r, ban_c, ban_aug, sols, scores, active, us, vs,
+         out_sols, out_scores, out_valid, n_valid_log) = carry
         best = jnp.argmax(jnp.where(active, scores, -jnp.inf)).astype(jnp.int32)
         best_score = scores[best]
         best_sol = sols[best]
         ok = active[best] & (best_score > NEG / 2)
+        if prune_window is not None:
+            # the dual bound prunes subtrees conservatively (ub >= true
+            # score); filter the remainder exactly at extraction
+            ok &= best_score >= root_score - prune_window
         out_sols = out_sols.at[t].set(jnp.where(ok, best_sol, 0))
         out_scores = out_scores.at[t].set(jnp.where(ok, best_score, -jnp.inf))
         out_valid = out_valid.at[t].set(ok)
@@ -255,14 +299,40 @@ def murty(cost: jax.Array, k: int,
         ban_slot = jnp.minimum(n_parent_bans, k - 1)
         slot_hot = jnp.arange(k) == ban_slot                   # [k]
 
+        # ---- dual upper bound per candidate child.  Child r bans parent
+        # pair (r, best_sol[r]) (and every col >= nC when that col is
+        # augmented) and forces rows < r to the parent solution.  All of
+        # those only RAISE entries of the minimized effective matrix, so the
+        # parent duals stay feasible and certify
+        #   child_best <= parent_best - min_{allowed j} slack[r, j].
+        a_eff = -build_eff(forced[best], ban_r[best], ban_c[best],
+                           ban_aug[best])                       # minimized
+        slack = a_eff - us[best][1:, None] - vs[best][None, 1:]  # [n, n]
+        child_ban = cols[None, :] == best_sol[:, None]
+        if not all_cols_real:
+            child_ban |= (best_sol[:, None] >= nC) & (cols[None, :] >= nC)
+        INFB = jnp.asarray(jnp.finfo(cost.dtype).max / 8, cost.dtype)
+        gap = jnp.min(jnp.where(child_ban, INFB,
+                                jnp.maximum(slack, 0.0)), axis=1)  # [n]
+        # degraded lanes (capped augment walk, f32 drift) can carry broken
+        # duals; a clearly infeasible slack disables the bound for this node
+        duals_ok = jnp.min(jnp.where(child_ban, 0.0, slack)) > -1e-2
+        gap = jnp.where(duals_ok, gap, 0.0)
+        ub = best_score - gap                                   # [n]
+
         # valid candidate children: free rows inside the real-assignment
-        # partition range.  Compact them to the leading slots and solve only
-        # the first pb (child_cap) — the wave width, not the validity mask,
-        # is what the vmapped Hungarian pays for.
+        # partition range whose bound survives the prune window.  When the
+        # cap binds, keep the HIGHEST-BOUND children — the wave width, not
+        # the validity mask, is what the vmapped Hungarian pays for.
         cand_valid = ok & (forced[best][cand_rows] < 0) & (
             cand_rows < partition_max)                          # [pb_full]
+        if prune_window is not None:
+            cand_valid &= ub[cand_rows] >= root_score - prune_window
+        n_valid_log = n_valid_log.at[t].set(
+            jnp.sum(cand_valid).astype(jnp.int32))
         if pb < pb_full:
-            order = jnp.argsort(~cand_valid, stable=True).astype(jnp.int32)
+            key_ub = jnp.where(cand_valid, ub[cand_rows], -jnp.inf)
+            order = jnp.argsort(-key_ub, stable=True).astype(jnp.int32)
             child_rows = order[:pb]                             # [pb]
             child_valid = cand_valid[child_rows]
         else:
@@ -288,7 +358,8 @@ def murty(cost: jax.Array, k: int,
                    else best_sol[child_rows] >= nC)
         baug_c = jnp.where(slot_hot[None, :], aug_val[:, None],
                            ban_aug[best][None, :])
-        sols_c, tots_c = jax.vmap(solve)(f_children, br_c, bc_c, baug_c)
+        sols_c, tots_c, us_c, vs_c = jax.vmap(solve)(
+            f_children, br_c, bc_c, baug_c)
         tots_c = jnp.where(child_valid, tots_c, -jnp.inf)
 
         start = 1 + t * pb
@@ -301,23 +372,29 @@ def murty(cost: jax.Array, k: int,
         sols = upd(sols, sols_c)
         scores = upd(scores, tots_c)
         active = upd(active, child_valid)
-        return (forced, ban_r, ban_c, ban_aug, sols, scores, active,
-                out_sols, out_scores, out_valid)
+        us = upd(us, us_c)
+        vs = upd(vs, vs_c)
+        return (forced, ban_r, ban_c, ban_aug, sols, scores, active, us, vs,
+                out_sols, out_scores, out_valid, n_valid_log)
 
     carry = (forced0, ban_r0, ban_c0, ban_aug0, sol0, score0, active0,
-             out_sols, out_scores, out_valid)
+             us0, vs0, out_sols, out_scores, out_valid, nvalid0)
     # the last iteration only needs to EXTRACT its best — its children are
     # never read (out slots are full), so skip the k-th expansion wave
     # entirely (one of k vmapped-Hungarian waves, a 1/k cost cut)
     carry = jax.lax.fori_loop(0, k - 1, iteration, carry)
-    (forced, ban_r, ban_c, ban_aug, sols, scores, active,
-     out_sols, out_scores, out_valid) = carry
+    (forced, ban_r, ban_c, ban_aug, sols, scores, active, _, _,
+     out_sols, out_scores, out_valid, n_valid_log) = carry
     best = jnp.argmax(jnp.where(active, scores, -jnp.inf)).astype(jnp.int32)
     ok = active[best] & (scores[best] > NEG / 2)
+    if prune_window is not None:
+        ok &= scores[best] >= root_score - prune_window
     out_sols = out_sols.at[k - 1].set(jnp.where(ok, sols[best], 0))
     out_scores = out_scores.at[k - 1].set(
         jnp.where(ok, scores[best], -jnp.inf))
     out_valid = out_valid.at[k - 1].set(ok)
+    if return_nvalid:
+        return out_sols, out_scores, out_valid, n_valid_log[:k - 1]
     return out_sols, out_scores, out_valid
 
 

@@ -127,6 +127,18 @@ def murty_phase(tab):
 
 scan_time("murty k-best (vmapped, H solves)", murty_phase, table, n=4)
 
+# ---- round-5 variants: child_cap x dual-bound window pruning
+for cap, win in [(12, None), (12, 3.0), (8, 3.0), (6, 3.0), (4, 3.0)]:
+    def murty_v(tab, cap=cap, win=win):
+        das, scores, valid = jax.vmap(
+            lambda tt, nr: murty(tt, H, real_rows=nr, real_cols=nZ,
+                                 child_cap=cap, prune_window=win)
+        )(tab, n_m)
+        return tab + 1e-12 * (jnp.sum(das, axis=(1, 2), dtype=tab.dtype)
+                              + jnp.sum(scores, axis=1))[:, None, None]
+
+    scan_time(f"murty cap={cap} window={win}", murty_v, table, n=4)
+
 
 def hung_phase(tab):
     sol, tot = jax.vmap(hungarian)(tab)

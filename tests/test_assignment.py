@@ -85,6 +85,84 @@ def test_murty_child_cap(rng, n, k, cap):
         seen.add(tuple(sol))
 
 
+@pytest.mark.parametrize("n", [3, 5, 7])
+def test_hungarian_dual_child_bound(rng, n):
+    """The duals certify child_best <= parent_best - min slack of the banned
+    row (the Murty dual bound): verify against explicitly solved children."""
+    from rfs_slam_tpu.ops.assignment import _hungarian_uv
+
+    for _ in range(5):
+        cost = rng.normal(size=(n, n)).astype(np.float32) * 3
+        sol, total, u, v = _hungarian_uv(jnp.asarray(cost))
+        a = -np.asarray(cost)
+        slack = a - np.asarray(u)[1:, None] - np.asarray(v)[None, 1:]
+        # dual feasibility + complementary slackness
+        assert slack.min() >= -1e-4
+        np.testing.assert_allclose(
+            slack[np.arange(n), np.asarray(sol)], 0.0, atol=1e-4)
+        sol = np.asarray(sol)
+        for r in range(n):
+            gap = min(slack[r, j] for j in range(n) if j != sol[r])
+            banned = cost.copy()
+            banned[r, sol[r]] = -1e9
+            _, child_total = hungarian(jnp.asarray(banned))
+            assert float(child_total) <= float(total) - gap + 1e-3
+
+
+@pytest.mark.parametrize("n,k,window", [(4, 6, 2.0), (5, 8, 3.0), (5, 4, 1.0)])
+def test_murty_prune_window_exact(rng, n, k, window):
+    """With child_cap >= n-1 the window-pruned solver returns EXACTLY the
+    brute-force top-k assignments within `window` of the best."""
+    for _ in range(5):
+        cost = rng.normal(size=(n, n)).astype(np.float32) * 2
+        sols, scores, valid = murty(jnp.asarray(cost), k, child_cap=n - 1,
+                                    prune_window=window)
+        perms, bf_scores = brute_force_assignments(cost, k=None)
+        in_win = bf_scores >= bf_scores[0] - window
+        want = min(int(in_win.sum()), k)
+        got = int(np.asarray(valid).sum())
+        assert got == want, (got, want)
+        np.testing.assert_allclose(np.asarray(scores[:got]),
+                                   bf_scores[:got], rtol=1e-4)
+        seen = {tuple(np.asarray(s)) for s in np.asarray(sols)[:got]}
+        assert len(seen) == got
+
+
+def test_murty_prune_window_capped_stays_sound(rng):
+    """A tight cap + window: every returned hypothesis is a true-scored,
+    distinct, in-window assignment and the best is exact."""
+    n, k = 6, 5
+    for _ in range(3):
+        cost = rng.normal(size=(n, n)).astype(np.float32) * 2
+        sols, scores, valid = murty(jnp.asarray(cost), k, child_cap=2,
+                                    prune_window=3.0)
+        perms, bf_scores = brute_force_assignments(cost, k=None)
+        np.testing.assert_allclose(float(scores[0]), bf_scores[0], rtol=1e-4)
+        seen = set()
+        for i in range(k):
+            if not bool(valid[i]):
+                continue
+            sol = np.asarray(sols[i])
+            true = sum(cost[r, sol[r]] for r in range(n))
+            np.testing.assert_allclose(float(scores[i]), true, rtol=1e-4)
+            assert float(scores[0]) - float(scores[i]) <= 3.0 + 1e-4
+            assert tuple(sol) not in seen
+            seen.add(tuple(sol))
+
+
+def test_murty_return_nvalid(rng):
+    n, k = 5, 4
+    cost = rng.normal(size=(n, n)).astype(np.float32)
+    sols, scores, valid, nvalid = murty(jnp.asarray(cost), k, child_cap=2,
+                                        return_nvalid=True)
+    assert nvalid.shape == (k - 1,)
+    # wave 0 expands the root: all n-1 candidate rows are free
+    assert int(nvalid[0]) == n - 1
+    # and the capped run still returns the exact best
+    _, bf_scores = brute_force_assignments(cost, k=1)
+    np.testing.assert_allclose(float(scores[0]), bf_scores[0], rtol=1e-4)
+
+
 def test_murty_exhaustion(rng):
     # 2x2 has only 2 assignments; asking for 4 marks the rest invalid
     cost = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
