@@ -248,8 +248,24 @@ def merge(gm: GMState, threshold, f_inflation, max_passes: int = 8,
     if use_pallas:
         from rfs_slam_tpu.ops.pallas.merge2d import merge2d
 
-        return merge2d(gm, threshold, f_inflation, max_passes=max_passes,
-                       fixed_passes=fixed_passes)
+        # Absorber-tier dispatch: compact() above sorted alive slots to the
+        # front, so a kernel whose pair-search i-axis covers only the first
+        # AK slots is BIT-EXACT whenever max alive count <= AK — and its
+        # per-pass cube work scales with AK.  Mid-run maps typically fill
+        # well under half the capacity, so the common case runs the cheap
+        # tier; lax.switch picks per call at runtime.
+        tiers = sorted({max(32, gm.capacity // 4),
+                        max(64, gm.capacity // 2),
+                        max(96, 3 * gm.capacity // 4), gm.capacity})
+        n_alive_max = jnp.max(jnp.sum(gm.alive, axis=1))
+        idx = sum(jnp.int32(n_alive_max > t) for t in tiers[:-1])
+        branches = [
+            (lambda g, ak=ak: merge2d(g, threshold, f_inflation,
+                                      max_passes=max_passes,
+                                      fixed_passes=fixed_passes, ak=ak))
+            for ak in tiers
+        ]
+        return jax.lax.switch(idx, branches, gm)
 
     t2 = threshold * threshold
 

@@ -28,20 +28,39 @@ from jax.experimental.pallas import tpu as pltpu
 from rfs_slam_tpu.core.state import GMState
 
 
-def _merge_kernel(fixed_passes, t2_ref, infl_ref, max_pass_ref,
+def _merge_kernel(fixed_passes, ak, t2_ref, infl_ref, max_pass_ref,
                   mx_ref, my_ref, p00_ref, p01_ref, p11_ref,
                   w_ref, wp_ref, alive_ref,
                   omx_ref, omy_ref, op00_ref, op01_ref, op11_ref,
                   ow_ref, owp_ref, oalive_ref):
     B, N = mx_ref.shape
+    AK = N if ak is None else ak
     t2 = t2_ref[0]
     infl = infl_ref[0]
     max_passes = max_pass_ref[0]
 
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
-    col_j = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    # Absorber-axis restriction: callers guarantee every ALIVE slot index is
+    # < AK (merge() compacts alive-first and picks the tier from the max
+    # alive count), so restricting the pair-search cube to [B, AK, N] is
+    # BIT-EXACT vs the full [B, N, N] kernel — rows i >= AK are dead and can
+    # neither absorb nor be a gated partner — while the per-pass cube work
+    # scales down by AK/N.
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (AK, N), 0)
+    col_j = jax.lax.broadcasted_iota(jnp.int32, (AK, N), 1)
     upper = row_i < col_j
-    ids = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+
+    def pad_i(vals, fill):
+        """[B, AK] per-absorber values -> [B, N] (tail = fill, no update)."""
+        if AK == N:
+            return vals
+        tail = jnp.full((B, N - AK), fill, vals.dtype)
+        return jax.lax.concatenate([vals, tail], 1)
+
+    def sl(a):
+        """Leading-AK slice of a [B, N] array — via lax.slice_in_dim: the
+        combined ``a[:, :AK, None]`` form lowers through jnp's gather path,
+        which Mosaic rejects inside while bodies; slice-then-insert works."""
+        return a if AK == N else jax.lax.slice_in_dim(a, 0, AK, axis=1)
 
     def one_pass(state):
         mx, my, p00, p01, p11, w, wp, alive, _, it = state
@@ -49,15 +68,15 @@ def _merge_kernel(fixed_passes, t2_ref, infl_ref, max_pass_ref,
         i00 = p11 / det
         i01 = -p01 / det
         i11 = p00 / det
-        dx = mx[:, None, :] - mx[:, :, None]              # [B, i, j]
-        dy = my[:, None, :] - my[:, :, None]
-        d2_ij = (i00[:, :, None] * dx * dx
-                 + 2.0 * i01[:, :, None] * dx * dy
-                 + i11[:, :, None] * dy * dy)
+        dx = mx[:, None, :] - sl(mx)[:, :, None]          # [B, i<AK, j]
+        dy = my[:, None, :] - sl(my)[:, :, None]
+        d2_ij = (sl(i00)[:, :, None] * dx * dx
+                 + 2.0 * sl(i01)[:, :, None] * dx * dy
+                 + sl(i11)[:, :, None] * dy * dy)
         d2_ji = (i00[:, None, :] * dx * dx
                  + 2.0 * i01[:, None, :] * dx * dy
                  + i11[:, None, :] * dy * dy)
-        both = (alive[:, :, None] > 0) & (alive[:, None, :] > 0)
+        both = (sl(alive)[:, :, None] > 0) & (alive[:, None, :] > 0)
         gate = both & upper[None] & ((d2_ij <= t2) | (d2_ji <= t2))
 
         # safe-absorber rule (see ops/gm.py:_merge_pass): a component with a
@@ -66,23 +85,27 @@ def _merge_kernel(fixed_passes, t2_ref, infl_ref, max_pass_ref,
         first_any = jnp.min(jnp.where(gate, row_i[None], N), axis=1)  # [B,j]
         # broadcast in i32 and compare after the minor-dim insertion —
         # Mosaic only supports inserting a minor dim on 32-bit types
-        safe_gate = gate & (first_any[:, :, None] == N)
+        safe_gate = gate & (sl(first_any)[:, :, None] == N)
         first_i = jnp.min(jnp.where(safe_gate, row_i[None], N), axis=1)
         claimed = safe_gate & (row_i[None] == first_i[:, None, :])
-        j_star = jnp.min(jnp.where(claimed, col_j[None], N), axis=2)  # [B, i]
+        j_star = jnp.min(jnp.where(claimed, col_j[None], N), axis=2)  # [B,i<AK]
         sel = (claimed & (col_j[None] == j_star[:, :, None])).astype(jnp.float32)
 
         fields = jnp.stack([mx, my, p00, p01, p11, w], axis=-1)       # [B,N,6]
         gathered = jax.lax.dot_general(
             sel, fields, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )                                                             # [B,N,6]
-        mxj, myj = gathered[..., 0], gathered[..., 1]
-        p00j, p01j, p11j = gathered[..., 2], gathered[..., 3], gathered[..., 4]
-        wj = gathered[..., 5]
+        )                                                             # [B,AK,6]
+        mxj = pad_i(gathered[..., 0], 0.0)
+        myj = pad_i(gathered[..., 1], 0.0)
+        p00j = pad_i(gathered[..., 2], 0.0)
+        p01j = pad_i(gathered[..., 3], 0.0)
+        p11j = pad_i(gathered[..., 4], 0.0)
+        wj = pad_i(gathered[..., 5], 0.0)
+        j_star_f = pad_i(j_star, N)                       # tail: no pair
 
         wm = w + wj
-        has = (j_star < N) & (wm != 0.0)
+        has = (j_star_f < N) & (wm != 0.0)
         wm_s = jnp.where(has, wm, 1.0)
         xm = (mx * w + mxj * wj) / wm_s
         ym = (my * w + myj * wj) / wm_s
@@ -131,11 +154,19 @@ def _merge_kernel(fixed_passes, t2_ref, infl_ref, max_pass_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("max_passes", "block",
-                                             "interpret", "fixed_passes"))
+                                             "interpret", "fixed_passes",
+                                             "ak"))
 def merge2d(gm: GMState, threshold, f_inflation, max_passes: int = 8,
             block: int = 8, interpret: bool = False,
-            fixed_passes: int | None = None) -> GMState:
-    """Pallas merge for D=2 mixtures; semantics match ops/gm.py merge."""
+            fixed_passes: int | None = None,
+            ak: int | None = None) -> GMState:
+    """Pallas merge for D=2 mixtures; semantics match ops/gm.py merge.
+
+    ``ak``: static absorber-axis tier — REQUIRES every alive slot index to
+    be < ak (callers compact alive-first and pick the tier from the max
+    alive count; see gm.merge).  Bit-exact vs the full kernel under that
+    invariant, with per-pass cube work scaled by ak/capacity.
+    """
     D = gm.dim
     P, N = gm.w.shape
     assert D == 2, "merge2d requires 2-D landmarks"
@@ -161,7 +192,7 @@ def merge2d(gm: GMState, threshold, f_inflation, max_passes: int = 8,
     bspec = pl.BlockSpec((block, N), lambda i: (i, 0), memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
-        functools.partial(_merge_kernel, fixed_passes),
+        functools.partial(_merge_kernel, fixed_passes, ak),
         grid=grid,
         in_specs=[sspec, sspec, sspec] + [bspec] * 8,
         out_specs=tuple([bspec] * 8),

@@ -1,5 +1,6 @@
 """Pallas merge kernel vs the pure-JAX merge (interpret mode on CPU)."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -36,6 +37,28 @@ def test_pallas_merge_matches_jax(rng):
                                rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out.w_prev)[a],
                                np.asarray(ref.w_prev)[a], rtol=1e-5)
+
+
+def test_pallas_merge_absorber_tiers_bit_exact(rng):
+    """With all alive slots < AK (compact guarantees it), the restricted
+    absorber-axis kernel must be BIT-IDENTICAL to the full kernel."""
+    for n_alive, ak in [(20, 32), (20, 64), (50, 64), (30, 32)]:
+        gm = gm_ops.compact(random_gm(rng, n_alive=n_alive), 128)
+        full = merge2d(gm, 1.5, 1.5, interpret=True)
+        tier = merge2d(gm, 1.5, 1.5, interpret=True, ak=ak)
+        for f, t in zip(jax.tree_util.tree_leaves(full),
+                        jax.tree_util.tree_leaves(tier)):
+            np.testing.assert_array_equal(np.asarray(f), np.asarray(t))
+
+
+def test_merge_tier_invariant_alive_stays_leading(rng):
+    """Merging only kills slots, so the all-alive-below-AK entry invariant
+    holds through every pass: no output alive index may exceed the entry
+    max alive index."""
+    gm = gm_ops.compact(random_gm(rng, n_alive=40), 128)
+    out = merge2d(gm, 1.5, 1.5, interpret=True, ak=64)
+    out_idx = np.where(np.asarray(out.alive))[1]
+    assert out_idx.max(initial=-1) < 40
 
 
 def test_pallas_merge_no_pairs(rng):
