@@ -23,7 +23,8 @@ from rfs_slam_tpu.utils import checkpoint
 
 def chunked_scan(scan_all, state, inputs_np, ckpt_dir: str | None = None,
                  ckpt_every: int = 0, resume: bool = False,
-                 progress: bool = True):
+                 progress: bool = True, resume_at: int | None = None,
+                 ckpt_keep: int = 3, reseed: int | None = None):
     """Drive ``scan_all(state, chunk_inputs) -> (state, outs)`` over chunks.
 
     Args:
@@ -32,6 +33,12 @@ def chunked_scan(scan_all, state, inputs_np, ckpt_dir: str | None = None,
       inputs_np: list of [F, ...] numpy per-frame input arrays.
       ckpt_dir/ckpt_every/resume: snapshot controls; ``ckpt_every <= 0``
         runs one monolithic chunk.
+      resume_at: resume from the snapshot at this exact frame index instead
+        of the newest one (counterfactual probes from a mid-run state).
+      ckpt_keep: snapshot rotation depth (0 = keep all).
+      reseed: if set, fold this value into the restored particle RNG key —
+        a counterfactual resume that replays the remaining stream under a
+        different random sequence from the identical mid-run state.
 
     Returns:
       (final_state, outs, wall_s) with ``outs`` the per-frame output pytree
@@ -39,11 +46,17 @@ def chunked_scan(scan_all, state, inputs_np, ckpt_dir: str | None = None,
     """
     F = inputs_np[0].shape[0]
     start = 0
-    if resume and ckpt_dir is not None:
-        done = checkpoint.latest_step(ckpt_dir)
+    if (resume or resume_at is not None) and ckpt_dir is not None:
+        done = (resume_at if resume_at is not None
+                else checkpoint.latest_step(ckpt_dir))
         if done is not None:
-            start, state = checkpoint.restore(ckpt_dir, state)
+            start, state = checkpoint.restore(ckpt_dir, state, step=resume_at)
             print(f"resumed from frame {start} ({ckpt_dir})")
+            if reseed is not None:
+                p = state.particles
+                state = state.replace(particles=p.replace(
+                    key=jax.random.fold_in(p.key, reseed)))
+                print(f"reseeded particle RNG (fold_in {reseed})")
 
     C = ckpt_every if ckpt_every and ckpt_every > 0 else F
     outs_chunks = _load_out_chunks(ckpt_dir, start) if start > 0 else []
@@ -58,7 +71,7 @@ def chunked_scan(scan_all, state, inputs_np, ckpt_dir: str | None = None,
         if ckpt_dir is not None:
             np.savez(os.path.join(ckpt_dir, f"outs_{f - c:06d}_{f:06d}.npz"),
                      **{str(i): o for i, o in enumerate(outs)})
-            checkpoint.save(ckpt_dir, f, state)
+            checkpoint.save(ckpt_dir, f, state, keep=ckpt_keep)
         outs_chunks.append(tuple(outs))
         if progress and C < F:
             print(f"  frame {f}/{F} ({time.time() - t0:.0f}s)", flush=True)
@@ -94,3 +107,10 @@ def add_ckpt_args(ap) -> None:
                     help="snapshot every N lidar frames")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the newest snapshot in --ckpt-dir")
+    ap.add_argument("--resume-at", type=int, default=None,
+                    help="resume from the snapshot at this exact frame")
+    ap.add_argument("--ckpt-keep", type=int, default=3,
+                    help="snapshot rotation depth (0 = keep all)")
+    ap.add_argument("--reseed", type=int, default=None,
+                    help="fold this value into the restored RNG key "
+                         "(counterfactual resume probe)")

@@ -44,8 +44,12 @@ from rfs_slam_tpu.apps.rbphdslam_victoriapark import gps_rmse
 
 
 def build(cfg: XmlConfig, z_capacity: int, map_capacity: int,
-          n_particles: int | None):
-    """Wiring per fastslam_VictoriaPark.cpp:85-184, 360-400."""
+          n_particles: int | None, hypotheses: int | None = None,
+          window: float | None = None):
+    """Wiring per fastslam_VictoriaPark.cpp:85-184, 360-400.
+
+    ``hypotheses``/``window`` override the XML's maxNDataAssocHypotheses /
+    maxDataAssocLogLikelihoodDiff (counterfactual divergence probes)."""
     n_particles = n_particles or cfg.get("filter.nParticles", 200, int)
     z_infl = cfg.get("filter.update.measurementNoiseInflationFactor", 1.0)
     ack = (
@@ -98,9 +102,11 @@ def build(cfg: XmlConfig, z_capacity: int, map_capacity: int,
         z_capacity=z_capacity,
         nmz_capacity=max(z_capacity, 32),
         candidate_capacity=24,
-        max_hypotheses=cfg.get("filter.update.maxNDataAssocHypotheses", 1, int),
-        max_da_loglik_diff=cfg.get(
-            "filter.update.maxDataAssocLogLikelihoodDiff", 3.0),
+        max_hypotheses=(hypotheses if hypotheses is not None else
+                        cfg.get("filter.update.maxNDataAssocHypotheses",
+                                1, int)),
+        max_da_loglik_diff=(window if window is not None else cfg.get(
+            "filter.update.maxDataAssocLogLikelihoodDiff", 3.0)),
         min_log_likelihood=cfg.get(
             "filter.weighting.minLogMeasurementLikelihood", -10.0),
         lock_weight=cfg.get("filter.update.landmarkLockWeight", 10.0),
@@ -128,7 +134,8 @@ def build(cfg: XmlConfig, z_capacity: int, map_capacity: int,
 def run(filt: FastSLAMFilter, input_cov, frames: vp_io.VPFrames,
         artificial_clutter: float = 0.0, seed: int = 0,
         ckpt_dir: str | None = None, ckpt_every: int = 0,
-        resume: bool = False):
+        resume: bool = False, resume_at: int | None = None,
+        ckpt_keep: int = 3, reseed: int | None = None):
     """Chunked device scan over frames; see rbphdslam_victoriapark.run."""
     F, K = frames.pred_dt.shape
 
@@ -195,7 +202,8 @@ def run(filt: FastSLAMFilter, input_cov, frames: vp_io.VPFrames,
 
     return _vp_common.chunked_scan(
         scan_all, state, inputs_np, ckpt_dir=ckpt_dir,
-        ckpt_every=ckpt_every, resume=resume)
+        ckpt_every=ckpt_every, resume=resume, resume_at=resume_at,
+        ckpt_keep=ckpt_keep, reseed=reseed)
 
 
 def main(argv=None):
@@ -208,6 +216,10 @@ def main(argv=None):
     ap.add_argument("--particles", type=int, default=None)
     ap.add_argument("--map-capacity", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--hypotheses", type=int, default=None,
+                    help="override XML maxNDataAssocHypotheses")
+    ap.add_argument("--window", type=float, default=None,
+                    help="override XML maxDataAssocLogLikelihoodDiff")
     _vp_common.add_ckpt_args(ap)
     args = ap.parse_args(argv)
 
@@ -216,7 +228,9 @@ def main(argv=None):
         "filter.nMsgToProcess", 0, int)
     filt, input_cov, ack = build(cfg, z_capacity=24,
                                  map_capacity=args.map_capacity,
-                                 n_particles=args.particles)
+                                 n_particles=args.particles,
+                                 hypotheses=args.hypotheses,
+                                 window=args.window)
     frames = vp_io.load(args.data, scale_ur=cfg.get("process.ur_scale", 1.0),
                         z_capacity=24, n_messages=n_msgs, ackerman=ack)
     F = len(frames.t)
@@ -233,7 +247,9 @@ def main(argv=None):
     state, outs, wall = run(filt, input_cov, frames,
                             artificial_clutter=clutter_added, seed=args.seed,
                             ckpt_dir=args.ckpt_dir,
-                            ckpt_every=args.ckpt_every, resume=args.resume)
+                            ckpt_every=args.ckpt_every, resume=args.resume,
+                            resume_at=args.resume_at,
+                            ckpt_keep=args.ckpt_keep, reseed=args.reseed)
     poses, weights, best, gm_mean, gm_cov, gm_w, gm_alive, parents = outs
     print(f"done: {F} frames in {wall:.1f}s ({F / wall:.1f} frames/s incl. compile)")
 

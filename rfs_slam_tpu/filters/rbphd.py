@@ -364,10 +364,21 @@ class RBPHDFilter:
         default_dev = jax.config.jax_default_device
         platform = (default_dev.platform if default_dev is not None
                     else jax.default_backend())
+        # Rough VMEM budget check: the kernel holds ~6 [block, Zc, M] f32
+        # cubes plus ~20 [block, M] planes resident per grid step (block=8,
+        # ops/pallas/map_update2d.py).  Past the ~16 MB scoped-VMEM limit
+        # Mosaic fails at compile (or spills) instead of falling back, so a
+        # large map_capacity x z_capacity config must take the XLA path
+        # (round-4 advisor finding).  12 MB leaves headroom for Mosaic's own
+        # temporaries.
+        block = 8
+        zc = self.cfg.z_capacity
+        vmem_bytes = 4 * block * gm.capacity * (6 * zc + 20)
         ok = (
             isinstance(meas, RangeBearing) and gm.dim == 2 and dz == 2
             and gm.capacity % 128 == 0 and platform == "tpu"
             and tuple(self.gates.wrap_dims) == (1,)
+            and vmem_bytes <= 12 * 1024 * 1024
         )
         return "pallas" if ok else None
 
