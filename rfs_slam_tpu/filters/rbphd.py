@@ -96,6 +96,10 @@ class RBPHDConfig:
     # and are cheaper than a fixed second pass on average.  Kept as an
     # experiment knob; None (default) = fixpoint loop.
     merge_passes: int | None = None
+    # force a merge implementation ("pallas" | "xla"); None = auto (the
+    # Pallas kernel on TPU for lane-aligned 2-D mixtures).  The overflow
+    # demo forces "xla" to exhibit the general path's O(M^2) HBM footprint.
+    merge_impl: str | None = None
 
 
 class RBPHDState(struct.PyTreeNode):
@@ -345,6 +349,7 @@ class RBPHDFilter:
         # ---------- merge + prune (RBPHDFilter.hpp:501-516)
         gm_full = gm_ops.merge(gm_full, cfg.merge_threshold,
                                cfg.merge_inflation,
+                               impl=cfg.merge_impl,
                                fixed_passes=cfg.merge_passes)
         gm_full = gm_ops.prune(gm_full, cfg.prune_threshold)
 

@@ -47,9 +47,12 @@ def build(p, m, zc):
 
     filt = ge._build(n_particles=p, map_capacity=m, z_capacity=zc,
                      new_capacity=32, eval_capacity=8, z_dp_max=6)
-    # XLA path: the fused Pallas kernel is VMEM-blocked for bench-scale M;
-    # the overflow question is about the general path's HBM footprint
-    filt.cfg = dataclasses.replace(filt.cfg, fused_map_update="off")
+    # XLA paths: the fused Pallas map-update kernel is VMEM-blocked for
+    # bench-scale M, and the Pallas merge would hit the VMEM wall rather
+    # than HBM; the overflow question is about the general path's HBM
+    # footprint
+    filt.cfg = dataclasses.replace(filt.cfg, fused_map_update="off",
+                                   merge_impl="xla")
     return filt
 
 
