@@ -241,12 +241,15 @@ def merge(gm: GMState, threshold, f_inflation, max_passes: int = 8,
         platform = (default_dev.platform if default_dev is not None
                     else jax.default_backend())
         use_pallas = (
-            gm.dim == 2 and gm.capacity % 128 == 0 and platform == "tpu"
+            gm.dim in (2, 3) and gm.capacity % 128 == 0 and platform == "tpu"
         )
     else:
         use_pallas = impl == "pallas"
     if use_pallas:
-        from rfs_slam_tpu.ops.pallas.merge2d import merge2d
+        if gm.dim == 3:
+            from rfs_slam_tpu.ops.pallas.merge3d import merge3d as merge_nd
+        else:
+            from rfs_slam_tpu.ops.pallas.merge2d import merge2d as merge_nd
 
         # Absorber-tier dispatch: compact() above sorted alive slots to the
         # front, so a kernel whose pair-search i-axis covers only the first
@@ -260,9 +263,9 @@ def merge(gm: GMState, threshold, f_inflation, max_passes: int = 8,
         n_alive_max = jnp.max(jnp.sum(gm.alive, axis=1))
         idx = sum(jnp.int32(n_alive_max > t) for t in tiers[:-1])
         branches = [
-            (lambda g, ak=ak: merge2d(g, threshold, f_inflation,
-                                      max_passes=max_passes,
-                                      fixed_passes=fixed_passes, ak=ak))
+            (lambda g, ak=ak: merge_nd(g, threshold, f_inflation,
+                                       max_passes=max_passes,
+                                       fixed_passes=fixed_passes, ak=ak))
             for ak in tiers
         ]
         return jax.lax.switch(idx, branches, gm)

@@ -1,0 +1,66 @@
+"""Pallas D=3 merge kernel vs the pure-JAX merge (interpret mode on CPU)."""
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from rfs_slam_tpu.core.state import GMState
+from rfs_slam_tpu.ops import gm as gm_ops
+from rfs_slam_tpu.ops.pallas.merge3d import merge3d
+
+
+def random_gm3(rng, P=3, N=128, n_alive=24):
+    mean = rng.uniform(-3, 3, size=(P, N, 3)).astype(np.float32)
+    mean[..., 2] = rng.uniform(0.2, 1.0, size=(P, N))  # tree diameters
+    A = rng.normal(size=(P, N, 3, 3)).astype(np.float32) * 0.2
+    cov = A @ np.swapaxes(A, -1, -2) + 0.3 * np.eye(3, dtype=np.float32)
+    w = rng.uniform(0.1, 1.0, size=(P, N)).astype(np.float32)
+    alive = np.zeros((P, N), bool)
+    alive[:, :n_alive] = True
+    return GMState.from_dense(jnp.asarray(mean), jnp.asarray(cov),
+                              jnp.asarray(w), jnp.asarray(w * 0.5),
+                              jnp.asarray(alive))
+
+
+def test_pallas_merge3d_matches_jax(rng):
+    gm = random_gm3(rng)
+    ref = gm_ops.merge(gm, threshold=1.5, f_inflation=1.5)
+    out = merge3d(gm_ops.compact(gm, gm.capacity), 1.5, 1.5, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out.alive), np.asarray(ref.alive))
+    a = np.asarray(ref.alive)
+    np.testing.assert_allclose(np.asarray(out.w)[a], np.asarray(ref.w)[a],
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.mean)[:, a],
+                               np.asarray(ref.mean)[:, a],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.cov)[:, a],
+                               np.asarray(ref.cov)[:, a],
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.w_prev)[a],
+                               np.asarray(ref.w_prev)[a], rtol=1e-5)
+
+
+def test_pallas_merge3d_mass_conserved(rng):
+    gm = gm_ops.compact(random_gm3(rng, n_alive=40), 128)
+    out = merge3d(gm, 2.0, 1.0, interpret=True)
+    m_in = float(jnp.sum(jnp.where(gm.alive, gm.w, 0.0)))
+    m_out = float(jnp.sum(jnp.where(out.alive, out.w, 0.0)))
+    np.testing.assert_allclose(m_out, m_in, rtol=1e-5)
+
+
+def test_pallas_merge3d_absorber_tiers_bit_exact(rng):
+    for n_alive, ak in [(20, 32), (40, 64), (24, 32)]:
+        gm = gm_ops.compact(random_gm3(rng, n_alive=n_alive), 128)
+        full = merge3d(gm, 1.5, 1.5, interpret=True)
+        tier = merge3d(gm, 1.5, 1.5, interpret=True, ak=ak)
+        for f, t in zip(jax.tree_util.tree_leaves(full),
+                        jax.tree_util.tree_leaves(tier)):
+            np.testing.assert_array_equal(np.asarray(f), np.asarray(t))
+
+
+def test_pallas_merge3d_no_pairs(rng):
+    gm = random_gm3(rng, n_alive=5)
+    gm = gm.replace(mean=gm.mean * 100.0)
+    out = merge3d(gm, 0.5, 1.5, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out.alive), np.asarray(gm.alive))
+    np.testing.assert_allclose(np.asarray(out.w), np.asarray(gm.w))
