@@ -584,6 +584,12 @@ class RBPHDFilter:
         P, M = gm.w.shape
         E = cfg.eval_capacity
         dz = z.shape[-1]
+        if E == 0:
+            # nEvalPt=0 ("empty strategy", batchSim_rbphdslam_emptyStrat):
+            # every particle has zero eval points, which the reference maps
+            # to weight = denorm_min (RBPHDFilter.hpp:741-744) — uniform
+            # after normalization
+            return jnp.full_like(log_w, LOG_TINY)
 
         # eval-point selection: top-E by weight among w >= minWeight, Pd > 0
         pd_eval, _ = meas.pd_p(pose[:, None, :], gm.mean, gm.cov)

@@ -240,11 +240,36 @@ def merge(gm: GMState, threshold, f_inflation, max_passes: int = 8,
         default_dev = jax.config.jax_default_device
         platform = (default_dev.platform if default_dev is not None
                     else jax.default_backend())
+        # AUTO selects Pallas for D=2 only.  The D=3 kernel (merge3d) is a
+        # measured REJECT as the VP default: standalone it is 2.4x the XLA
+        # merge (2.62 vs 6.34 ms at the VP probe state) but in-context the
+        # full frame ties (13.25 vs 13.16 ms) and END-TO-END the full VP
+        # stream came out slower AND at a worse operating point (92.5 fps /
+        # 6.88 m vs 115.6 fps / 3.74 m RMSE, round-5 A/B) — the Mosaic-vs-
+        # XLA f32 arithmetic difference butterflies the chaotic trajectory.
+        # Available explicitly via impl="pallas".
         use_pallas = (
-            gm.dim in (2, 3) and gm.capacity % 128 == 0 and platform == "tpu"
+            gm.dim == 2 and gm.capacity % 128 == 0 and platform == "tpu"
         )
     else:
         use_pallas = impl == "pallas"
+
+    t2 = threshold * threshold
+
+    def xla_fixpoint(g):
+        def cond(carry):
+            _, n, it = carry
+            return (n > 0) & (it < max_passes)
+
+        def body(carry):
+            gg, _, it = carry
+            gg, n = _merge_pass(gg, t2, f_inflation)
+            return gg, n, it + 1
+
+        g1, n1 = _merge_pass(g, t2, f_inflation)
+        out, _, _ = jax.lax.while_loop(cond, body, (g1, n1, jnp.int32(1)))
+        return out
+
     if use_pallas:
         if gm.dim == 3:
             from rfs_slam_tpu.ops.pallas.merge3d import merge3d as merge_nd
@@ -256,31 +281,26 @@ def merge(gm: GMState, threshold, f_inflation, max_passes: int = 8,
         # AK slots is BIT-EXACT whenever max alive count <= AK — and its
         # per-pass cube work scales with AK.  Mid-run maps typically fill
         # well under half the capacity, so the common case runs the cheap
-        # tier; lax.switch picks per call at runtime.
+        # tier; lax.switch picks per call at runtime.  Tiers whose
+        # [8, AK, N] pass cubes would exceed the ~16 MB VMEM (Mosaic
+        # requires the particle block to be a multiple of 8, so the block
+        # cannot shrink below 8) fall back to the XLA fixpoint — at large
+        # capacities the Pallas kernel covers the common partially-full
+        # maps and XLA the rare overfull ones.
         tiers = sorted({max(32, gm.capacity // 4),
                         max(64, gm.capacity // 2),
                         max(96, 3 * gm.capacity // 4), gm.capacity})
         n_alive_max = jnp.max(jnp.sum(gm.alive, axis=1))
         idx = sum(jnp.int32(n_alive_max > t) for t in tiers[:-1])
-        branches = [
-            (lambda g, ak=ak: merge_nd(g, threshold, f_inflation,
-                                       max_passes=max_passes,
-                                       fixed_passes=fixed_passes, ak=ak))
-            for ak in tiers
-        ]
-        return jax.lax.switch(idx, branches, gm)
 
-    t2 = threshold * threshold
+        def make_branch(ak):
+            vmem_est = 5 * 8 * ak * gm.capacity * 4  # ~5 live f32 cubes
+            if vmem_est > 10 * 1024 * 1024:
+                return xla_fixpoint
+            return lambda g: merge_nd(g, threshold, f_inflation,
+                                      max_passes=max_passes,
+                                      fixed_passes=fixed_passes, ak=ak)
 
-    def cond(carry):
-        _, n, it = carry
-        return (n > 0) & (it < max_passes)
+        return jax.lax.switch(idx, [make_branch(ak) for ak in tiers], gm)
 
-    def body(carry):
-        g, _, it = carry
-        g, n = _merge_pass(g, t2, f_inflation)
-        return g, n, it + 1
-
-    gm1, n1 = _merge_pass(gm, t2, f_inflation)
-    out, _, _ = jax.lax.while_loop(cond, body, (gm1, n1, jnp.int32(1)))
-    return out
+    return xla_fixpoint(gm)

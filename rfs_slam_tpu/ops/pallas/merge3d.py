@@ -163,23 +163,20 @@ def _tri(i, j):
                                              "interpret", "ak",
                                              "fixed_passes"))
 def merge3d(gm: GMState, threshold, f_inflation, max_passes: int = 8,
-            block: int | None = None, interpret: bool = False,
+            block: int = 8, interpret: bool = False,
             ak: int | None = None,
             fixed_passes: int | None = None) -> GMState:
     """Pallas merge for D=3 mixtures; semantics match ops/gm.py merge.
 
     ``ak``: absorber-axis tier — requires every alive slot index < ak
-    (callers compact alive-first; see gm.merge).  ``block=None`` sizes the
-    particle block so the [block, AK, N] pass cubes fit the ~16 MB VMEM
-    (VP capacity 512 needs block < 8).
+    (callers compact alive-first; see gm.merge).  The particle ``block``
+    must be a multiple of 8 (Mosaic block-shape constraint), so at large
+    capacities the caller limits ``ak`` to keep the [block, AK, N] pass
+    cubes inside VMEM (gm.merge falls back to XLA beyond).
     """
     D = gm.dim
     P, N = gm.w.shape
     assert D == 3, "merge3d requires 3-D landmarks"
-    if block is None:
-        # ~5 live [block, AK, N] f32 cubes during a pass; 10 MB budget
-        per_unit = 5 * (ak or N) * N * 4
-        block = max(1, min(8, (10 * 1024 * 1024) // per_unit))
     pad_p = (-P) % block
 
     def pad(a):

@@ -35,6 +35,12 @@ N_WARM = int(sys.argv[1]) if len(sys.argv) > 1 else 200
 cfg = XmlConfig("/root/reference/cfg/rbphdslam_VictoriaPark.xml")
 filt, input_cov, ack = app.build(cfg, z_capacity=24, map_capacity=512,
                                  n_particles=100)
+# VP_MERGE=xla forces the XLA merge (A/B vs the round-5 Pallas merge3d)
+if os.environ.get("VP_MERGE"):
+    import dataclasses
+
+    filt.cfg = dataclasses.replace(filt.cfg,
+                                   merge_impl=os.environ["VP_MERGE"])
 frames = vp_io.load("/root/reference/data/VictoriaPark",
                     scale_ur=cfg.get("process.ur_scale", 1.0),
                     z_capacity=24, n_messages=N_WARM * 12, ackerman=ack)
@@ -62,7 +68,7 @@ inputs = tuple(jnp.asarray(a) for a in (
     frames.pred_dt.astype(np.float32), frames.pred_u.astype(np.float32),
     frames.pred_noise, frames.z.astype(np.float32), frames.z_mask))
 
-state = filt.init_state(jax.random.PRNGKey(0), jnp.zeros(3), d=3)
+state = filt.init_state(jax.random.PRNGKey(0), jnp.zeros(3), dz=3, d=3)
 step = make_step()
 
 # warm to a realistic mid-run state (chunks keep dispatches short)
@@ -121,3 +127,32 @@ real_rs = filt._resample_phase
 filt._resample_phase = no_resample
 timed("  skip resample phase", make_step())
 filt._resample_phase = real_rs
+
+# ---- merge internals at this mid-run state
+from rfs_slam_tpu.ops import gm as gm_ops
+from rfs_slam_tpu.ops.pallas.merge3d import merge3d
+
+mt = filt.cfg.merge_threshold
+mi = filt.cfg.merge_inflation
+gm0 = state.gm
+
+
+def timed_gm(name, fn):
+    run = jax.jit(lambda g: jax.lax.scan(
+        lambda gg, _: (fn(gg).replace(mean=gg.mean * 1.0001), None),
+        g, None, length=16)[0])
+    jax.block_until_ready(run(gm0))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(gm0))
+        best = min(best, (time.perf_counter() - t0) / 16)
+    print(f"{name:44s} {best * 1e3:9.2f} ms")
+
+
+timed_gm("gm compact (sort+take_slots) only", lambda g: gm_ops.compact(g, 512))
+timed_gm("merge() auto (compact + tier switch)",
+         lambda g: gm_ops.merge(g, mt, mi))
+timed_gm("merge() forced xla", lambda g: gm_ops.merge(g, mt, mi, impl="xla"))
+timed_gm("merge3d direct ak=128 (pre-compacted)",
+         lambda g: merge3d(gm_ops.compact(g, 512), mt, mi, ak=128))
