@@ -78,6 +78,12 @@ def run_one(filter_kind, cfg, sim_cfg, traj_seed, noise_seed, z_capacity,
         # MH steps are ~0.7 s on TPU; keep each dispatch well under the
         # relay's ~1 min kill threshold
         _, outs, wall = app.run(filt, sim_cfg, data, chunk=32)
+    elif getattr(filt.cfg, "nmz_capacity", 0) > 64:
+        # high-clutter FastSLAM cells: the vmapped Hungarian at NMZ>100
+        # makes steps ~100x slower — a 500-step dispatch would trip the
+        # same relay kill threshold (measured: clutter=1.0 cell crashed
+        # the worker unchunked)
+        _, outs, wall = app.run(filt, sim_cfg, data, chunk=48)
     else:
         _, outs, wall = app.run(filt, sim_cfg, data)
     poses, weights, best, gm_mean, gm_cov, gm_w, gm_alive = outs

@@ -23,7 +23,7 @@ sed -e "s/<useClusterProcess>.*<\/useClusterProcess>/<useClusterProcess>1<\/useC
 
 for strat in emptyStrat singleStrat clusterProc; do
   echo "# strategy=$strat" >> "$OUT"
-  python -m rfs_slam_tpu.apps.batchsim --cfg "$TMP/$strat.xml" \
+  "${PYTHON:-python}" -m rfs_slam_tpu.apps.batchsim --cfg "$TMP/$strat.xml" \
       --filter rbphd --pd 0.9 0.5 --clutter 1e-2 \
       --seeds "$SEEDS" --steps "$STEPS" --out "$OUT"
 done
