@@ -38,7 +38,8 @@ from rfs_slam_tpu.ops.ekf import InnovationGates
 
 def build_filter_from_xml(cfg: XmlConfig, sim_cfg: sim2d.Sim2DConfig,
                           z_capacity: int, n_particles: int | None = None,
-                          murty_child_cap: int | None = 6):
+                          murty_child_cap: int | None = 6,
+                          murty_lane_budget: int | None = None):
     """Wiring per fastslam2dSim.cpp:452-482."""
     dt = sim_cfg.dt
     n_particles = n_particles or cfg.get("filter.nParticles", 200, int)
@@ -66,6 +67,7 @@ def build_filter_from_xml(cfg: XmlConfig, sim_cfg: sim2d.Sim2DConfig,
         candidate_capacity=16,
         max_hypotheses=cfg.get("filter.update.maxNDataAssocHypotheses", 1, int),
         murty_child_cap=murty_child_cap,
+        murty_lane_budget=murty_lane_budget,
         max_da_loglik_diff=cfg.get("filter.update.maxDataAssocLogLikelihoodDiff", 3.0),
         min_log_likelihood=cfg.get("filter.weighting.minLogMeasurementLikelihood", -10.0),
         existence_prior=0.5,
@@ -135,6 +137,10 @@ def main(argv=None):
                          "MH — the relay kills dispatches past ~1 min)")
     ap.add_argument("--murty-cap", type=int, default=6,
                     help="murty child_cap (0 = uncapped exact solver)")
+    ap.add_argument("--murty-lane-budget", type=int, default=0,
+                    help="max particle lanes running the full Murty "
+                         "expansion per update (0 = all lanes; see "
+                         "FastSLAMConfig.murty_lane_budget)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -150,7 +156,9 @@ def main(argv=None):
     zc = data.z.shape[1]
     filt = build_filter_from_xml(cfg, sim_cfg, z_capacity=max(zc, 4),
                                  n_particles=args.particles,
-                                 murty_child_cap=args.murty_cap or None)
+                                 murty_child_cap=args.murty_cap or None,
+                                 murty_lane_budget=args.murty_lane_budget
+                                 or None)
     print(f"fastslam2dsim: T={sim_cfg.timesteps} P={filt.cfg.n_particles} "
           f"H={filt.cfg.max_hypotheses} Zmax={zc} device={jax.devices()[0]}")
     chunk = args.chunk or (64 if filt.cfg.max_hypotheses > 1 else 500)

@@ -45,7 +45,8 @@ from rfs_slam_tpu.apps.rbphdslam_victoriapark import gps_rmse
 
 def build(cfg: XmlConfig, z_capacity: int, map_capacity: int,
           n_particles: int | None, hypotheses: int | None = None,
-          window: float | None = None):
+          window: float | None = None,
+          murty_lane_budget: int | None = None):
     """Wiring per fastslam_VictoriaPark.cpp:85-184, 360-400.
 
     ``hypotheses``/``window`` override the XML's maxNDataAssocHypotheses /
@@ -105,6 +106,7 @@ def build(cfg: XmlConfig, z_capacity: int, map_capacity: int,
         max_hypotheses=(hypotheses if hypotheses is not None else
                         cfg.get("filter.update.maxNDataAssocHypotheses",
                                 1, int)),
+        murty_lane_budget=murty_lane_budget,
         max_da_loglik_diff=(window if window is not None else cfg.get(
             "filter.update.maxDataAssocLogLikelihoodDiff", 3.0)),
         min_log_likelihood=cfg.get(
@@ -220,6 +222,9 @@ def main(argv=None):
                     help="override XML maxNDataAssocHypotheses")
     ap.add_argument("--window", type=float, default=None,
                     help="override XML maxDataAssocLogLikelihoodDiff")
+    ap.add_argument("--murty-lane-budget", type=int, default=0,
+                    help="max particle lanes running the full Murty "
+                         "expansion per update (0 = all lanes)")
     _vp_common.add_ckpt_args(ap)
     args = ap.parse_args(argv)
 
@@ -230,7 +235,9 @@ def main(argv=None):
                                  map_capacity=args.map_capacity,
                                  n_particles=args.particles,
                                  hypotheses=args.hypotheses,
-                                 window=args.window)
+                                 window=args.window,
+                                 murty_lane_budget=args.murty_lane_budget
+                                 or None)
     frames = vp_io.load(args.data, scale_ur=cfg.get("process.ur_scale", 1.0),
                         z_capacity=24, n_messages=n_msgs, ackerman=ack)
     F = len(frames.t)

@@ -40,7 +40,7 @@ from rfs_slam_tpu.core import gaussian, planar
 from rfs_slam_tpu.core.state import BirthCandidates, GMState, ParticleState
 from rfs_slam_tpu.ops import gm as gm_ops
 from rfs_slam_tpu.ops import resample as resample_ops
-from rfs_slam_tpu.ops.assignment import hungarian, murty
+from rfs_slam_tpu.ops.assignment import hungarian, murty, murty_gated
 from rfs_slam_tpu.ops.ekf import InnovationGates, correct_single
 
 
@@ -107,6 +107,17 @@ class FastSLAMConfig:
     # at MH sim shapes (PERF.md round-5 table), best hypothesis exact at
     # every measured shape.  None = unbounded (exact, slow).
     murty_child_cap: int | None = 6
+    # static cap on the number of PARTICLE LANES that run the full Murty
+    # expansion per update (ops/assignment.murty_gated): the root
+    # Hungarian's dual bound certifies, per lane, whether a second
+    # hypothesis can exist inside max_da_loglik_diff at all — on
+    # low-ambiguity data most lanes cannot, and their k-1 expansion waves
+    # are provably wasted.  Lanes certified single-hypothesis get the exact
+    # murty result by construction; only AMBIGUOUS lanes beyond the budget
+    # are truncated to their best hypothesis (the least-ambiguous actives
+    # truncate first; overflow is measurable via murty_gated's counter).
+    # None = every lane runs the full expansion (exact, slow).
+    murty_lane_budget: int | None = None
     max_da_loglik_diff: float = 3.0  # maxDataAssocLogLikelihoodDiff_
     min_log_likelihood: float = -10.0  # minLogMeasurementLikelihood_
     existence_prior: float = 0.5     # landmarkExistencePrior_
@@ -470,11 +481,11 @@ class FastSLAMFilter:
 
         # ---- k-best hypotheses per live slot (Murty real-assignment-block)
         n_m = jnp.sum(row_valid, axis=1)
-        das, scores, valid = jax.vmap(
-            lambda t, nr: murty(t, H, real_rows=nr, real_cols=nZ,
-                                child_cap=cfg.murty_child_cap,
-                                prune_window=cfg.max_da_loglik_diff)
-        )(table, n_m)                                   # [Pc,H,NMZ], [Pc,H]
+        das, scores, valid = murty_gated(
+            table, H, n_m, real_cols=nZ,
+            child_cap=cfg.murty_child_cap,
+            prune_window=cfg.max_da_loglik_diff,
+            budget=cfg.murty_lane_budget)               # [Pc,H,NMZ], [Pc,H]
         keep = valid & (scores[:, :1] - scores <= cfg.max_da_loglik_diff)
         keep = keep & alive_p[:, None]
         keep = keep.at[:, 0].set(alive_p)               # best always kept
@@ -605,11 +616,11 @@ class FastSLAMFilter:
             # duplicate real associations and waste the hypothesis budget.
             n_m = jnp.sum(row_valid, axis=1)
             n_z_real = jnp.sum(z_mask)
-            das, scores, valid = jax.vmap(
-                lambda t, nr: murty(t, H, real_rows=nr, real_cols=n_z_real,
-                                    child_cap=cfg.murty_child_cap,
-                                    prune_window=cfg.max_da_loglik_diff)
-            )(table, n_m)
+            das, scores, valid = murty_gated(
+                table, H, n_m, real_cols=n_z_real,
+                child_cap=cfg.murty_child_cap,
+                prune_window=cfg.max_da_loglik_diff,
+                budget=cfg.murty_lane_budget)
             keep = valid & (scores[:, :1] - scores <= cfg.max_da_loglik_diff)
             das = jnp.where(keep[:, :, None], das, das[:, :1, :])
             n_h = jnp.sum(keep, axis=1)

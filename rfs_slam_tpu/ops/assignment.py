@@ -398,6 +398,126 @@ def murty(cost: jax.Array, k: int,
     return out_sols, out_scores, out_valid
 
 
+def second_best_bound(cost, sol, tot, u, v, real_rows, real_cols=None):
+    """Dual upper bound on the SECOND-best real-block assignment — the max
+    over candidate child rows of murty's root-wave child bound (identical
+    slack/duals_ok arithmetic to murty's iteration).  ``ub2 < best -
+    window`` certifies the lane admits only one in-window hypothesis."""
+    n = cost.shape[-1]
+    nC = jnp.asarray(n if real_cols is None else real_cols)
+    cols = jnp.arange(n)
+    a_eff = -cost
+    slack = a_eff - u[1:, None] - v[None, 1:]
+    child_ban = cols[None, :] == sol[:, None]
+    child_ban |= (sol[:, None] >= nC) & (cols[None, :] >= nC)
+    INFB = jnp.asarray(jnp.finfo(cost.dtype).max / 8, cost.dtype)
+    gap = jnp.min(jnp.where(child_ban, INFB,
+                            jnp.maximum(slack, 0.0)), axis=1)       # [n]
+    duals_ok = jnp.min(jnp.where(child_ban, 0.0, slack)) > -1e-2
+    gap = jnp.where(duals_ok, gap, 0.0)
+    partition_max = jnp.where(jnp.asarray(real_rows) >= n, n - 1, real_rows)
+    cand = cols < partition_max
+    return jnp.max(jnp.where(cand, tot - gap, -jnp.inf))
+
+
+def ambiguous_lanes(tables, real_rows, real_cols, prune_window):
+    """[P] bool — which lanes' dual bound admits a 2nd in-window hypothesis
+    (the murty_gated lane classifier, exposed for instrumentation)."""
+    sols, tots, us, vs = jax.vmap(_hungarian_uv)(tables)
+    ub2 = jax.vmap(
+        lambda c, s, t, u, v, nr: second_best_bound(c, s, t, u, v, nr,
+                                                    real_cols)
+    )(tables, sols, tots, us, vs, real_rows)
+    return (tots > NEG / 2) & (ub2 >= tots - prune_window)
+
+
+def murty_gated(tables: jax.Array, k: int, real_rows: jax.Array,
+                real_cols=None, child_cap: int | None = None,
+                prune_window: float | None = None,
+                budget: int | None = None,
+                return_overflow: bool = False):
+    """Batched :func:`murty` with per-lane ambiguity gating.
+
+    MH-FastSLAM runs murty vmapped over every particle lane, but on
+    low-ambiguity data most lanes provably admit only ONE hypothesis inside
+    ``prune_window``: the root Hungarian's dual potentials certify
+    ``second_best <= best - min_r gap_r`` (the same child bound murty's
+    waves use), so when that bound already falls outside the window the
+    whole expansion returns just the root — k-1 vmapped-Hungarian waves of
+    work for a foregone conclusion.  This wrapper
+
+    1. solves only the ROOT assignment for all ``P`` lanes,
+    2. classifies each lane *ambiguous* iff its dual second-best upper
+       bound is within ``prune_window`` of its best score,
+    3. gathers the (at most ``budget``) most-ambiguous lanes, runs the full
+       murty expansion on that small batch, and scatters the results back;
+       every other lane gets the root as its single valid hypothesis.
+
+    EXACT (same outputs as the plain vmapped murty) for every
+    non-ambiguous lane — murty's own window pruning would invalidate all
+    their children — and for every ambiguous lane within the budget.  Only
+    ambiguous lanes beyond the budget are truncated to their root
+    hypothesis; they are the LEAST ambiguous of the active set (lanes are
+    ranked by how close the second-best bound comes to the best), and
+    ``return_overflow`` exposes how many lanes were truncated so callers
+    can size the budget from data.
+
+    Requires ``prune_window`` (the gate is meaningless without it).
+    ``real_rows``: [P] int; ``real_cols``: scalar (shared across lanes).
+    Returns ``(assignments [P, k, n], scores [P, k], valid [P, k])``
+    (+ ``overflow`` scalar int32 if requested).
+    """
+    assert prune_window is not None, "murty_gated requires prune_window"
+    P, n, _ = tables.shape
+    run_all = budget is None or budget >= P or k <= 1
+
+    if run_all:
+        das, scores, valid = jax.vmap(
+            lambda t, nr: murty(t, k, real_rows=nr, real_cols=real_cols,
+                                child_cap=child_cap,
+                                prune_window=prune_window)
+        )(tables, real_rows)
+        if return_overflow:
+            return das, scores, valid, jnp.int32(0)
+        return das, scores, valid
+
+    sols, tots, us, vs = jax.vmap(_hungarian_uv)(tables)
+    root_ok = tots > NEG / 2
+    ub2 = jax.vmap(
+        lambda c, s, t, u, v, nr: second_best_bound(c, s, t, u, v, nr,
+                                                    real_cols)
+    )(tables, sols, tots, us, vs, real_rows)
+    ambiguous = root_ok & (ub2 >= tots - prune_window)
+
+    # most-ambiguous lanes first: rank by closeness of the 2nd-best bound
+    amb_key = jnp.where(ambiguous, ub2 - tots, -jnp.inf)
+    _, sel = jax.lax.top_k(amb_key, budget)                 # [A]
+    sel_amb = jnp.take(ambiguous, sel)
+    das_s, sc_s, va_s = jax.vmap(
+        lambda t, nr: murty(t, k, real_rows=nr, real_cols=real_cols,
+                            child_cap=child_cap, prune_window=prune_window)
+    )(jnp.take(tables, sel, axis=0), jnp.take(real_rows, sel))
+
+    # defaults: root as the single valid hypothesis (identical to what the
+    # full murty returns for a lane whose children all fail the window)
+    das0 = jnp.zeros((P, k, n), jnp.int32)
+    das0 = das0.at[:, 0, :].set(jnp.where(root_ok[:, None], sols, 0))
+    scores0 = jnp.full((P, k), -jnp.inf, tables.dtype)
+    scores0 = scores0.at[:, 0].set(jnp.where(root_ok, tots, -jnp.inf))
+    valid0 = jnp.zeros((P, k), bool).at[:, 0].set(root_ok)
+
+    eq = sel[None, :] == jnp.arange(P)[:, None]             # [P, A]
+    hit = jnp.any(eq & sel_amb[None, :], axis=1)
+    pos = jnp.argmax(eq, axis=1)
+    das = jnp.where(hit[:, None, None], jnp.take(das_s, pos, axis=0), das0)
+    scores = jnp.where(hit[:, None], jnp.take(sc_s, pos, axis=0), scores0)
+    valid = jnp.where(hit[:, None], jnp.take(va_s, pos, axis=0), valid0)
+    if return_overflow:
+        overflow = (jnp.sum(ambiguous) - jnp.sum(sel_amb)).astype(jnp.int32)
+        return das, scores, valid, overflow
+    return das, scores, valid
+
+
 def brute_force_assignments(cost: np.ndarray, k: int | None = None):
     """All assignments sorted by score desc (NumPy test oracle).
 

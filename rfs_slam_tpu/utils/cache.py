@@ -52,6 +52,33 @@ def _pjrt_plugin_present() -> bool:
         return ".axon_site" in os.environ.get("PYTHONPATH", "")
 
 
+def _host_cpu_fingerprint() -> str:
+    """Short hash of the host CPU's feature set.
+
+    XLA:CPU executables are specialized to the compile host's machine
+    features, and jax's persistent-cache key does NOT include them: when the
+    container that owns the cache directory migrates to a different physical
+    host, stale entries load with a "machine type ... doesn't match" warning
+    and subtly different codegen (observed: two semantically-identical merge
+    kernels, one replayed from the old host and one compiled locally,
+    disagreed in f32 rounding and broke a bit-exactness test).  Keying
+    CPU-platform cache dirs on this fingerprint keeps each host's
+    executables separate.
+    """
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    return hashlib.sha1(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform as _platform
+
+    return re.sub(r"[^\w-]+", "_", _platform.machine() or "unknown")
+
+
 def enable(cache_dir: str | None = None) -> None:
     import jax
 
@@ -77,8 +104,16 @@ def enable(cache_dir: str | None = None) -> None:
     # package (the mechanism PJRT plugins register through), not a PYTHONPATH
     # substring, so site-packages or .pth installs are keyed too.
     plugged = "-plug" if _pjrt_plugin_present() else ""
+    # Explicit-CPU processes additionally key on the host CPU's feature
+    # fingerprint (see _host_cpu_fingerprint): XLA:CPU code is specialized to
+    # the compile host and the container's cache dir can outlive the host it
+    # ran on.  TPU-targeting dirs ("auto"/"tpu") are left host-independent —
+    # their executables are compiled by the TPU toolchain and re-keying them
+    # would cold-restart every device program after a host migration.
+    host = ("-h" + _host_cpu_fingerprint()
+            if "cpu" in platform.lower() else "")
     cache_dir = os.path.join(
-        cache_dir, re.sub(r"[^\w-]+", "_", platform) + plugged)
+        cache_dir, re.sub(r"[^\w-]+", "_", platform) + plugged + host)
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

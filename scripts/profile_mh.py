@@ -140,6 +140,29 @@ for cap, win in [(12, None), (12, 3.0), (8, 3.0), (6, 3.0), (4, 3.0)]:
     scan_time(f"murty cap={cap} window={win}", murty_v, table, n=4)
 
 
+# ---- round-5b: lane-gated murty (root for all lanes; expansion only on
+# lanes whose dual bound admits a 2nd in-window hypothesis)
+from rfs_slam_tpu.ops.assignment import murty_gated  # noqa: E402
+
+_, _, _, ovf1 = jax.jit(lambda t: murty_gated(
+    t, H, n_m, real_cols=nZ, child_cap=c.murty_child_cap, prune_window=3.0,
+    budget=1, return_overflow=True))(table)
+print(f"ambiguous lanes at probe state (window 3.0): {int(ovf1) + 1} "
+      f"of {table.shape[0]}")
+
+for budget in (64, 96, 128, 192):
+    def murty_g(tab, budget=budget):
+        das, scores, valid, ovf = murty_gated(
+            tab, H, n_m, real_cols=nZ, child_cap=c.murty_child_cap,
+            prune_window=3.0, budget=budget, return_overflow=True)
+        return tab + 1e-12 * (jnp.sum(das, axis=(1, 2), dtype=tab.dtype)
+                              + jnp.sum(scores, axis=1)
+                              + ovf.astype(tab.dtype))[:, None, None]
+
+    scan_time(f"murty gated budget={budget} (cap=6, win=3.0)", murty_g,
+              table, n=4)
+
+
 def hung_phase(tab):
     sol, tot = jax.vmap(hungarian)(tab)
     return tab + 1e-12 * (jnp.sum(sol, axis=1, dtype=tab.dtype)

