@@ -46,12 +46,17 @@ from rfs_slam_tpu.apps.rbphdslam_victoriapark import gps_rmse
 def build(cfg: XmlConfig, z_capacity: int, map_capacity: int,
           n_particles: int | None, hypotheses: int | None = None,
           window: float | None = None,
-          murty_lane_budget: int | None = None):
+          murty_lane_budget: int | str | None = "auto"):
     """Wiring per fastslam_VictoriaPark.cpp:85-184, 360-400.
 
     ``hypotheses``/``window`` override the XML's maxNDataAssocHypotheses /
-    maxDataAssocLogLikelihoodDiff (counterfactual divergence probes)."""
+    maxDataAssocLogLikelihoodDiff (counterfactual divergence probes).
+    ``murty_lane_budget="auto"`` = n_particles (P_cap/3 under the default
+    grow cap) — see apps/fastslam2dsim.py for the sizing A/B; ``None``
+    disables lane gating (every lane runs the full Murty expansion)."""
     n_particles = n_particles or cfg.get("filter.nParticles", 200, int)
+    if murty_lane_budget == "auto":
+        murty_lane_budget = n_particles
     z_infl = cfg.get("filter.update.measurementNoiseInflationFactor", 1.0)
     ack = (
         cfg.get("process.AckermanModel.rearWheelOffset", 0.76),
@@ -222,9 +227,10 @@ def main(argv=None):
                     help="override XML maxNDataAssocHypotheses")
     ap.add_argument("--window", type=float, default=None,
                     help="override XML maxDataAssocLogLikelihoodDiff")
-    ap.add_argument("--murty-lane-budget", type=int, default=0,
+    ap.add_argument("--murty-lane-budget", type=int, default=-1,
                     help="max particle lanes running the full Murty "
-                         "expansion per update (0 = all lanes)")
+                         "expansion per update (-1 = auto [n_particles], "
+                         "0 = all lanes)")
     _vp_common.add_ckpt_args(ap)
     args = ap.parse_args(argv)
 
@@ -236,8 +242,9 @@ def main(argv=None):
                                  n_particles=args.particles,
                                  hypotheses=args.hypotheses,
                                  window=args.window,
-                                 murty_lane_budget=args.murty_lane_budget
-                                 or None)
+                                 murty_lane_budget=(
+                                     "auto" if args.murty_lane_budget < 0
+                                     else args.murty_lane_budget or None))
     frames = vp_io.load(args.data, scale_ur=cfg.get("process.ur_scale", 1.0),
                         z_capacity=24, n_messages=n_msgs, ackerman=ack)
     F = len(frames.t)
